@@ -1,0 +1,256 @@
+"""Differentiable depth rasterizer (blur=0, faces_per_pixel=1 semantics).
+
+TPU-first redesign of the reference render path.  The reference
+(render_model/mano_layer.py:946-952, 1021-1030) rasterizes a 640x640
+NDC square with pytorch3d, identity-resizes to 640x480, then warps to
+the 128x128 crop with nearest-neighbor grid_sample.  Here we rasterize
+*directly at the crop pixels*: each crop pixel (i, j) is mapped through
+M^-1 to its continuous full-frame position (exactly the sample position
+the reference's warp uses — its grid is built from integer crop coords,
+mano_layer.py:1244-1255) and the triangle coverage test happens there.
+One pass, ~19x fewer pixels than the 640x640 raster, no resampling
+aliasing, and labels (JointTrans) share the same projection by
+construction.
+
+Depth interpolation is screen-space barycentric (pytorch3d 0.4.0
+default perspective_correct=False), and the gradient flows to vertex
+positions through the hit face's interpolation only — matching
+pytorch3d's hard (blur=0) backward, NOT a soft rasterizer.
+
+The inner loop is matmul-shaped: per-face edge functions are linear in
+(u, v), so coverage+depth for a pixel block is [u v 1] @ coeffs — MXU
+food — followed by a masked min over faces.  The XLA path scans over
+face chunks so the (pixels x faces) tensor is never materialized.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dsf_tpu import geometry as geo
+
+_INF = 1e10
+_FACE_CHUNK = 256
+
+
+def project_verts(verts, paras, flip=1.0):
+    """World mm -> continuous pixel coords (u, v) + depth z.
+
+    Same pinhole as geometry.xyz_to_uvd (ref: points3DToImg,
+    mano_layer.py:1318-1324).
+    """
+    return geo.xyz_to_uvd(verts, paras, flip)
+
+
+def full_frame_pixel_rays(img_size):
+    """Integer pixel grid (u, v) of a (W, H) full frame -> (H*W, 2)."""
+    W, H = img_size
+    u, v = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                        jnp.arange(H, dtype=jnp.float32), indexing="xy")
+    return jnp.stack([u.ravel(), v.ravel()], axis=-1)
+
+
+def crop_pixel_rays(M, crop_size):
+    """Map integer crop-pixel coords through M^-1 to full-frame positions.
+
+    M: (..., 3, 3) crop matrices.  Returns (..., crop*crop, 2) sample
+    positions — the exact positions the reference's warpPerspective
+    samples (mano_layer.py:1244-1255 builds its grid from integer crop
+    coords, no half-pixel shift).
+    """
+    cw, ch = crop_size
+    u, v = jnp.meshgrid(jnp.arange(cw, dtype=jnp.float32),
+                        jnp.arange(ch, dtype=jnp.float32), indexing="xy")
+    pix = jnp.stack([u.ravel(), v.ravel(), jnp.ones(cw * ch, jnp.float32)], axis=-1)
+    Minv = geo.inv_3x3(M)
+    uv = geo.transform_points_2d(
+        jnp.broadcast_to(pix, M.shape[:-2] + pix.shape), Minv)[..., :2]
+    return uv
+
+
+def _face_coeffs(proj, faces):
+    """Per-face linear coefficients of the 3 edge functions and depth.
+
+    proj: (B, V, 3) projected verts; faces: (F, 3) int.
+    Returns a, b, c: (B, F, 3) with w_k(u,v) = a_k u + b_k v + c_k;
+    A = sum_k c_k evaluated... no: A (2x signed area) = w0+w1+w2 which is
+    constant = c0+c1+c2 only when Σa=Σb=0 (true by construction);
+    az, bz, cz: (B, F) with z(u,v) = (az u + bz v + cz) / A.
+    """
+    tri = proj[:, faces]                       # (B, F, 3, 3)
+    u0, v0, z0 = tri[..., 0, 0], tri[..., 0, 1], tri[..., 0, 2]
+    u1, v1, z1 = tri[..., 1, 0], tri[..., 1, 1], tri[..., 1, 2]
+    u2, v2, z2 = tri[..., 2, 0], tri[..., 2, 1], tri[..., 2, 2]
+    a = jnp.stack([v1 - v2, v2 - v0, v0 - v1], axis=-1)
+    b = jnp.stack([u2 - u1, u0 - u2, u1 - u0], axis=-1)
+    c = jnp.stack([u1 * v2 - u2 * v1, u2 * v0 - u0 * v2, u0 * v1 - u1 * v0],
+                  axis=-1)
+    A = c.sum(-1)                               # (B, F), 2x signed area
+    z = jnp.stack([z0, z1, z2], axis=-1)        # (B, F, 3)
+    az = (a * z).sum(-1)
+    bz = (b * z).sum(-1)
+    cz = (c * z).sum(-1)
+    zmin_face = jnp.min(z, axis=-1)
+    return a, b, c, A, az, bz, cz, zmin_face
+
+
+def _pad_to_multiple(x, axis, m, value):
+    n = x.shape[axis]
+    pad = (-n) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _raster_scan(proj, pix_uv, faces):
+    """XLA fallback: scan over face chunks, carry running (zmin, argmin).
+
+    proj (B,V,3), pix_uv (B,P,2), faces (F,3) -> zbuf (B,P), idx (B,P).
+    """
+    B, P = pix_uv.shape[0], pix_uv.shape[1]
+    a, b, c, A, az, bz, cz, zmf = _face_coeffs(proj, faces)
+    F = faces.shape[0]
+
+    # pad faces to a chunk multiple with degenerate (A=0) faces
+    def padf(x):
+        return _pad_to_multiple(x, 1, _FACE_CHUNK, 0.0)
+
+    a, b, c = padf(a), padf(b), padf(c)
+    A, az, bz, cz, zmf = padf(A), padf(az), padf(bz), padf(cz), padf(zmf)
+    Fp = A.shape[1]
+    nc = Fp // _FACE_CHUNK
+
+    def reshape_chunks(x):
+        return jnp.moveaxis(
+            x.reshape(B, nc, _FACE_CHUNK, *x.shape[2:]), 1, 0)
+
+    xs = tuple(reshape_chunks(x) for x in (a, b, c, A, az, bz, cz))
+
+    u = pix_uv[..., 0:1]                        # (B, P, 1)
+    v = pix_uv[..., 1:2]
+
+    def body(carry, chunk):
+        zmin, idx, offset = carry
+        ca, cb, cc, cA, caz, cbz, ccz = chunk   # (B, Fc, ...)
+        sgn = jnp.sign(cA)[:, None, :]          # (B, 1, Fc)
+        e0 = (u * ca[:, None, :, 0] + v * cb[:, None, :, 0] + cc[:, None, :, 0])
+        e1 = (u * ca[:, None, :, 1] + v * cb[:, None, :, 1] + cc[:, None, :, 1])
+        e2 = (u * ca[:, None, :, 2] + v * cb[:, None, :, 2] + cc[:, None, :, 2])
+        inside = ((e0 * sgn >= 0) & (e1 * sgn >= 0) & (e2 * sgn >= 0)
+                  & (jnp.abs(cA)[:, None, :] > 1e-9))
+        z = (u * caz[:, None, :] + v * cbz[:, None, :] + ccz[:, None, :]) \
+            / jnp.where(cA == 0, 1.0, cA)[:, None, :]
+        z = jnp.where(inside & (z > 0), z, _INF)
+        cmin = jnp.min(z, axis=-1)              # (B, P)
+        carg = jnp.argmin(z, axis=-1) + offset
+        better = cmin < zmin
+        return (jnp.where(better, cmin, zmin),
+                jnp.where(better, carg, idx),
+                offset + _FACE_CHUNK), None
+
+    init = (jnp.full((B, P), _INF, proj.dtype),
+            jnp.full((B, P), -1, jnp.int32),
+            jnp.int32(0))
+    (zmin, idx, _), _ = jax.lax.scan(body, init, xs)
+    zbuf = jnp.where(zmin >= _INF, 0.0, zmin)   # background -> 0 (ref maps
+    idx = jnp.where(zmin >= _INF, -1, idx)      # zbuf<=0 to 0 right after)
+    idx = jnp.where(idx >= F, -1, idx)
+    return zbuf, idx
+
+
+def _z_of_tri(tri, uv):
+    """Depth of the ray through pixel ``uv`` on triangle ``tri`` (3,3)
+    via screen-space barycentric interpolation.  Used only to derive the
+    backward pass (gradient wrt tri)."""
+    u, v = uv[0], uv[1]
+    u0, v0, z0 = tri[0]
+    u1, v1, z1 = tri[1]
+    u2, v2, z2 = tri[2]
+    w0 = (v1 - v2) * u + (u2 - u1) * v + (u1 * v2 - u2 * v1)
+    w1 = (v2 - v0) * u + (u0 - u2) * v + (u2 * v0 - u0 * v2)
+    w2 = (v0 - v1) * u + (u1 - u0) * v + (u0 * v1 - u1 * v0)
+    A = w0 + w1 + w2
+    return (w0 * z0 + w1 * z1 + w2 * z2) / A
+
+
+_grad_z_tri = jax.vmap(jax.vmap(jax.grad(_z_of_tri, argnums=0)))
+
+
+@jax.custom_vjp
+def _raster(proj, pix_uv, faces):
+    zbuf, _ = _raster_scan(proj, pix_uv, faces)
+    return zbuf
+
+
+def _raster_fwd(proj, pix_uv, faces):
+    zbuf, idx = _raster_scan(proj, pix_uv, faces)
+    return zbuf, (proj, pix_uv, faces, idx)
+
+
+def _raster_bwd(res, g):
+    proj, pix_uv, faces, idx = res
+    B, P = idx.shape
+    V = proj.shape[1]
+    hit = idx >= 0
+    safe_idx = jnp.where(hit, idx, 0)
+    tri_idx = faces[safe_idx]                   # (B, P, 3) vertex ids
+    tri = jnp.take_along_axis(
+        proj[:, :, None, :], tri_idx[..., None], axis=1)  # (B,P,3,3)
+    dtri = _grad_z_tri(tri, pix_uv)             # (B, P, 3, 3)
+    upd = dtri * (g * hit)[..., None, None]     # (B, P, 3, 3)
+
+    def scatter(one_idx, one_upd):
+        return jnp.zeros((V, 3), proj.dtype).at[one_idx.reshape(-1)].add(
+            one_upd.reshape(-1, 3))
+
+    dproj = jax.vmap(scatter)(tri_idx, upd)
+    return dproj, jnp.zeros_like(pix_uv), None
+
+
+_raster.defvjp(_raster_fwd, _raster_bwd)
+
+
+def rasterize_depth(verts, faces, pix_uv, paras, flip=1.0, return_idx=False):
+    """Rasterize (B, V, 3) world-mm verts into depth at sample positions.
+
+    pix_uv: (B, P, 2) or (P, 2) continuous full-frame pixel positions
+    (see crop_pixel_rays / full_frame_pixel_rays).
+    Returns zbuf (B, P): depth in mm of the nearest face along each ray,
+    0 where no face covers the pixel.  Differentiable wrt ``verts`` with
+    the hard (blur=0, fpp=1) gradient through the hit face only.
+    """
+    proj = project_verts(verts, paras, flip)
+    if pix_uv.ndim == 2:
+        pix_uv = jnp.broadcast_to(pix_uv, (verts.shape[0],) + pix_uv.shape)
+    if return_idx:
+        return _raster_scan(proj, pix_uv, faces)
+    return _raster(proj, pix_uv, faces)
+
+
+# ---------------------------------------------------------------------------
+# point splatting (scatter-min depth), ref: PCLToDepth / pcl2Img
+# (render_loader.py:1015-1033, 1158-1171)
+# ---------------------------------------------------------------------------
+
+def splat_points_min(uvd, img_size, background=0.0):
+    """Scatter points into a (img_size, img_size) depth image keeping the
+    nearest depth per pixel.  uvd: (B, N, 3) in pixel coords.
+    """
+    B, N, _ = uvd.shape
+    u = jnp.clip(uvd[..., 0], 0, img_size - 0.5)
+    v = jnp.clip(uvd[..., 1], 0, img_size - 0.5)
+    lin = (jnp.floor(v) * img_size + jnp.floor(u)).astype(jnp.int32)
+
+    def one(lin_i, z_i):
+        img = jnp.full((img_size * img_size,), _INF, uvd.dtype)
+        img = img.at[lin_i].min(z_i)
+        return jnp.where(img >= _INF, background, img)
+
+    out = jax.vmap(one)(lin, uvd[..., 2])
+    return out.reshape(B, img_size, img_size)
