@@ -1,0 +1,184 @@
+"""66-sphere hand approximation: collision loss and point-cloud part
+segmentation (ref: render_model/mano_layer.py:229-567).
+
+Sphere layout: 21 palm spheres (wrist + 5 palm bones x 4 interpolants)
+followed by 45 finger spheres (15 bones x 3 interpolants, bone-major).
+The pairwise collision mask (which sphere pairs may penalize) is static
+config, built once in NumPy with the reference's exact exclusions
+(same-bone, adjacent-bone, finger-root-to-palm, thumb-root-to-palm).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+from dsf_tpu.mano.constants import BONE_CHILD
+
+PALM_N = 21          # 1 + 5 * 4
+FINGER_N = 45        # 15 * 3
+INTERVAL = 3         # finger spheres per bone (per_adj_sphere=2 -> 3)
+PALM_PER_BONE = 4
+
+_FINGER_T = np.linspace(0, 1, INTERVAL + 2)[:-1][:INTERVAL]        # [0, 1/3, 2/3]
+_PALM_T = np.linspace(0, 1, PALM_PER_BONE + 2)[1:-1]               # [.2 .4 .6 .8]
+_PALM_CHILD = [1, 4, 7, 10, 13]
+
+
+def build_collision_mask() -> np.ndarray:
+    """(66, 66) float mask of sphere pairs that contribute to the
+    collision penalty (ref: mano_layer.py:239-269, including its
+    asymmetries)."""
+    plam_mask = np.concatenate(
+        [np.zeros((PALM_N, PALM_N)), np.ones((PALM_N, FINGER_N))], axis=1)
+    finger_mask = np.ones((FINGER_N, PALM_N + FINGER_N))
+    for fi in range(15):
+        root = fi // 3 + 1
+        if fi in (0, 3, 6, 9, 12):         # proximal bone of each finger
+            for fb in range(INTERVAL):
+                finger_mask[INTERVAL * fi + fb, root * PALM_PER_BONE] = 0
+                plam_mask[root * PALM_PER_BONE, PALM_N + INTERVAL * fi + fb] = 0
+                s = PALM_N + INTERVAL * fi
+                finger_mask[INTERVAL * fi + fb, s:s + INTERVAL + 3] = 0
+        else:
+            s = PALM_N + INTERVAL * fi
+            mx = PALM_N + 3 * INTERVAL * root
+            for fb in range(INTERVAL):
+                finger_mask[INTERVAL * fi + fb,
+                            s - INTERVAL:min(s + INTERVAL * 2 + 1, mx)] = 0
+    thumb_root = 12 * INTERVAL
+    finger_mask[thumb_root:thumb_root + INTERVAL + 1, :PALM_N] = 0
+    mask = np.concatenate([plam_mask, finger_mask], axis=0)
+    mask[:PALM_N, PALM_N + thumb_root:PALM_N + thumb_root + INTERVAL + 1] = 0
+    return mask.astype(np.float32)
+
+
+COLLISION_MASK = build_collision_mask()
+
+
+def sphere_centers(joints):
+    """(B, 21, 3) joints -> (B, 66, 3) sphere centers
+    (ref: get_sphere / the center half of get_sphere_radius)."""
+    ft = jnp.asarray(_FINGER_T, joints.dtype).reshape(1, 1, -1, 1)
+    pt = jnp.asarray(_PALM_T, joints.dtype).reshape(1, 1, -1, 1)
+
+    palm_child = joints[:, _PALM_CHILD]                 # (B, 5, 3)
+    palm_parent = joints[:, 0:1]                        # (B, 1, 3)
+    palm_bone = palm_child - palm_parent
+    palm_c = palm_bone[:, :, None, :] * pt + palm_parent[:, :, None, :]
+    palm_c = jnp.concatenate(
+        [palm_parent, palm_c.reshape(joints.shape[0], -1, 3)], axis=1)
+
+    f_child = joints[:, BONE_CHILD]                     # (B, 15, 3)
+    f_parent = joints[:, 1:16]
+    f_c = (f_child - f_parent)[:, :, None, :] * ft + f_parent[:, :, None, :]
+    return jnp.concatenate(
+        [palm_c, f_c.reshape(joints.shape[0], -1, 3)], axis=1)
+
+
+def sphere_radii(model, joints, mesh):
+    """(B, 66) sphere radii from per-joint distances to the 10 nearest
+    assigned mesh verts (ref: the radius half of get_sphere_radius,
+    mano_layer.py:271-317)."""
+    diff = joints[:, :, None, :] - mesh[:, None, : model.n_verts, :]
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-8)
+    assigned = model.vertex_joint_mask.T[None]          # (1, 21, 778)
+    d = jnp.where(assigned, d, 100.0)
+    nearest = _mean_smallest_k(d, 10)
+    joint_r = jnp.concatenate(
+        [nearest[:, :16], nearest[:, [3, 6, 9, 12, 15]] / 1.5], axis=-1)
+
+    palm_child = joint_r[:, _PALM_CHILD]
+    palm_parent = jnp.clip(joint_r[:, 0:1] - 0.05, 0.01, 0.4)
+    pt = jnp.asarray(_PALM_T, joints.dtype).reshape(1, 1, -1)
+    palm_r = (palm_child - palm_parent)[:, :, None] * pt + palm_parent[:, :, None]
+    palm_r = jnp.concatenate(
+        [palm_parent, palm_r.reshape(joints.shape[0], -1)], axis=1)
+
+    ft = jnp.asarray(_FINGER_T, joints.dtype).reshape(1, 1, -1)
+    f_child = joint_r[:, BONE_CHILD]
+    f_parent = joint_r[:, 1:16]
+    f_r = (f_child - f_parent)[:, :, None] * ft + f_parent[:, :, None]
+    return jnp.concatenate(
+        [palm_r, f_r.reshape(joints.shape[0], -1)], axis=1)
+
+
+def _mean_smallest_k(d, k):
+    """Mean of the k smallest values along the last axis."""
+    neg_topk, _ = jax.lax.top_k(-d, k)
+    return jnp.mean(-neg_topk, axis=-1)
+
+
+def collision_loss(model, joints, mesh):
+    """Mean sphere-pair penetration, gated per batch element
+    (ref: calculate_coll, mano_layer.py:373-386): samples already
+    colliding beyond 0.1 total are zeroed (don't chase lost causes)."""
+    c = sphere_centers(joints)
+    r = sphere_radii(model, joints, mesh)
+    diff = c[:, :, None, :] - c[:, None, :, :]
+    dis = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-8)
+    pair_r = r[:, :, None] + r[:, None, :]
+    err = jnp.maximum(pair_r - dis, 0.0) * jnp.asarray(COLLISION_MASK)
+    gate = (err.sum((-1, -2), keepdims=True) < 0.1).astype(err.dtype)
+    err = err * gate
+    return jnp.mean(err.sum(-1))
+
+
+def seg_pcl(model, joints, joints_mano, mesh, pcl):
+    """Assign each point to a bone part 0..15 (0 = palm).
+
+    Centers come from ``joints`` (pixel-branch prediction), radii from
+    ``joints_mano`` (MANO branch) — ref: seg_pcl, mano_layer.py:404-426.
+    pcl: (B, P, 3) -> (B, P) int32.
+    """
+    c = sphere_centers(joints)
+    r = sphere_radii(model, joints_mano, mesh)
+    fc, fr = c[:, PALM_N:], r[:, PALM_N:]
+    pc, pr = c[:, :PALM_N], r[:, :PALM_N]
+
+    fd = jnp.sqrt(jnp.sum((pcl[:, :, None] - fc[:, None]) ** 2, -1) + 1e-8)
+    fd = jnp.abs(fd - fr[:, None])
+    f_min = jnp.min(fd, -1)
+    f_id = (jnp.argmin(fd, -1) // INTERVAL).astype(jnp.int32) + 1
+
+    pd = jnp.sqrt(jnp.sum((pcl[:, :, None] - pc[:, None]) ** 2, -1) + 1e-8)
+    pd = jnp.abs(pd - pr[:, None])
+    p_min = jnp.min(pd, -1)
+
+    return jnp.where(p_min < f_min, 0, f_id)
+
+
+_SEG21_MAP = np.array(
+    [1, 1, 2, 2, 2, 3, 3, 3, 16, 4, 4, 5, 5, 5, 6, 6, 6, 17, 7, 7, 8, 8, 8,
+     9, 9, 9, 18, 10, 10, 11, 11, 11, 12, 12, 12, 19, 13, 13, 14, 14, 14, 15,
+     15, 15, 20], dtype=np.int32)
+
+_SEGFINGER_MAP = np.repeat(np.arange(1, 6, dtype=np.int32), 9)
+
+
+def seg_pcl_21(model, joints, joints_mano, mesh, pcl):
+    """21-part variant (ref: seg_pcl_21, mano_layer.py:468-491)."""
+    return _seg_with_map(model, joints, joints_mano, mesh, pcl,
+                         jnp.asarray(_SEG21_MAP))
+
+
+def seg_pcl_finger(model, joints, joints_mano, mesh, pcl):
+    """5-finger variant (ref: seg_pcl_finger, mano_layer.py:523-546)."""
+    return _seg_with_map(model, joints, joints_mano, mesh, pcl,
+                         jnp.asarray(_SEGFINGER_MAP))
+
+
+def _seg_with_map(model, joints, joints_mano, mesh, pcl, id_map):
+    c = sphere_centers(joints)
+    r = sphere_radii(model, joints_mano, mesh)
+    fc, fr = c[:, PALM_N:], r[:, PALM_N:]
+    pc, pr = c[:, :PALM_N], r[:, :PALM_N]
+    fd = jnp.sqrt(jnp.sum((pcl[:, :, None] - fc[:, None]) ** 2, -1) + 1e-8)
+    fd = jnp.abs(fd - fr[:, None])
+    f_min = jnp.min(fd, -1)
+    f_id = id_map[jnp.argmin(fd, -1)]
+    pd = jnp.sqrt(jnp.sum((pcl[:, :, None] - pc[:, None]) ** 2, -1) + 1e-8)
+    pd = jnp.abs(pd - pr[:, None])
+    p_min = jnp.min(pd, -1)
+    return jnp.where(p_min < f_min, 0, f_id)

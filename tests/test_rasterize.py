@@ -1,0 +1,158 @@
+"""Tests for the depth rasterizer: analytic coverage, occlusion, gradients."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dsf_tpu import geometry as geo
+from dsf_tpu.ops import rasterize as R
+
+PARAS = (100.0, 100.0, 32.0, 32.0)  # small synthetic camera, 64x64 frame
+
+
+def np_raster(verts, faces, pix, paras):
+    """Brute-force reference: screen-space barycentric z of nearest face."""
+    fx, fy, cx, cy = paras
+    proj = np.stack([verts[:, 0] * fx / verts[:, 2] + cx,
+                     verts[:, 1] * fy / verts[:, 2] + cy,
+                     verts[:, 2]], axis=-1)
+    P = pix.shape[0]
+    zbuf = np.full(P, np.inf)
+    for f in faces:
+        t = proj[f]
+        for i, (u, v) in enumerate(pix):
+            w0 = (t[1, 1] - t[2, 1]) * u + (t[2, 0] - t[1, 0]) * v + (
+                t[1, 0] * t[2, 1] - t[2, 0] * t[1, 1])
+            w1 = (t[2, 1] - t[0, 1]) * u + (t[0, 0] - t[2, 0]) * v + (
+                t[2, 0] * t[0, 1] - t[0, 0] * t[2, 1])
+            w2 = (t[0, 1] - t[1, 1]) * u + (t[1, 0] - t[0, 0]) * v + (
+                t[0, 0] * t[1, 1] - t[1, 0] * t[0, 1])
+            A = w0 + w1 + w2
+            if abs(A) < 1e-9:
+                continue
+            s = np.sign(A)
+            if w0 * s >= 0 and w1 * s >= 0 and w2 * s >= 0:
+                z = (w0 * t[0, 2] + w1 * t[1, 2] + w2 * t[2, 2]) / A
+                if z > 0:
+                    zbuf[i] = min(zbuf[i], z)
+    zbuf[~np.isfinite(zbuf)] = 0.0
+    return zbuf
+
+
+def make_scene(seed=0, n_tris=40, B=2):
+    rng = np.random.RandomState(seed)
+    V = n_tris * 3
+    verts = np.zeros((B, V, 3), np.float32)
+    for b in range(B):
+        centers = rng.uniform([-15, -15, 80], [15, 15, 120], (n_tris, 3))
+        tri = centers[:, None, :] + rng.randn(n_tris, 3, 3) * 4
+        verts[b] = tri.reshape(V, 3)
+    faces = np.arange(V, dtype=np.int32).reshape(n_tris, 3)
+    return verts, faces
+
+
+def test_raster_matches_bruteforce():
+    verts, faces = make_scene()
+    pix = np.asarray(R.full_frame_pixel_rays((64, 64)))
+    zbuf = R.rasterize_depth(jnp.asarray(verts), jnp.asarray(faces),
+                             jnp.asarray(pix), PARAS)
+    for b in range(verts.shape[0]):
+        expected = np_raster(verts[b].astype(np.float64), faces, pix, PARAS)
+        got = np.asarray(zbuf[b])
+        # allow tiny boundary flips from f32 edge functions
+        close = np.isclose(got, expected, rtol=1e-4, atol=1e-3)
+        frac_bad = 1 - close.mean()
+        assert frac_bad < 0.01, f"{frac_bad:.4f} of pixels differ"
+
+
+def test_single_triangle_analytic():
+    # triangle in z=100 plane covering image center
+    verts = jnp.asarray([[[-10.0, -10.0, 100.0], [20.0, -10.0, 100.0],
+                          [-10.0, 20.0, 100.0]]])
+    faces = jnp.asarray([[0, 1, 2]], dtype=jnp.int32)
+    pix = R.full_frame_pixel_rays((64, 64))
+    zbuf = np.asarray(R.rasterize_depth(verts, faces, pix, PARAS)).reshape(64, 64)
+    # center pixel (32, 32) maps to camera x=y=0 -> inside triangle
+    assert abs(zbuf[32, 32] - 100.0) < 1e-3
+    # far corner outside
+    assert zbuf[0, 63] == 0.0
+
+
+def test_occlusion_nearest_wins():
+    verts = jnp.asarray([[
+        [-10.0, -10.0, 100.0], [20.0, -10.0, 100.0], [-10.0, 20.0, 100.0],
+        [-10.0, -10.0, 90.0], [20.0, -10.0, 90.0], [-10.0, 20.0, 90.0],
+    ]])
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], dtype=jnp.int32)
+    pix = R.full_frame_pixel_rays((64, 64))
+    zbuf = np.asarray(R.rasterize_depth(verts, faces, pix, PARAS)).reshape(64, 64)
+    assert abs(zbuf[32, 32] - 90.0) < 1e-3
+
+
+def test_gradient_matches_finite_difference():
+    verts, faces = make_scene(seed=3, n_tris=10, B=1)
+    pix = R.full_frame_pixel_rays((32, 32))
+    paras = (50.0, 50.0, 16.0, 16.0)
+    key_pix = jnp.asarray(pix)
+
+    def loss(v):
+        z = R.rasterize_depth(v, jnp.asarray(faces), key_pix, paras)
+        # smooth loss over covered pixels
+        return jnp.sum(jnp.where(z > 0, (z - 95.0) ** 2, 0.0)) / 1000.0
+
+    v0 = jnp.asarray(verts)
+    g = jax.grad(loss)(v0)
+    assert np.isfinite(np.asarray(g)).all()
+    rng = np.random.RandomState(0)
+    # probe several random vertex coords with central differences
+    checked = 0
+    for _ in range(20):
+        i = rng.randint(verts.shape[1])
+        k = rng.randint(3)
+        eps = 1e-3
+        vp = v0.at[0, i, k].add(eps)
+        vm = v0.at[0, i, k].add(-eps)
+        fd = (loss(vp) - loss(vm)) / (2 * eps)
+        an = g[0, i, k]
+        # skip coords where coverage changed discontinuously
+        if abs(fd) < 1e-8 and abs(an) < 1e-8:
+            continue
+        if not np.isclose(float(fd), float(an), rtol=0.05, atol=1e-3):
+            # hard rasterizer: coverage flips make some FDs invalid; allow
+            # a few but most must match
+            continue
+        checked += 1
+    assert checked >= 10
+
+
+def test_crop_rays_identity():
+    M = jnp.eye(3)
+    rays = np.asarray(R.crop_pixel_rays(M, (4, 4)))
+    u, v = np.meshgrid(np.arange(4), np.arange(4), indexing="xy")
+    np.testing.assert_allclose(rays[:, 0], u.ravel(), atol=1e-6)
+    np.testing.assert_allclose(rays[:, 1], v.ravel(), atol=1e-6)
+
+
+def test_crop_raster_equals_warped_full_raster():
+    """Rasterizing at crop rays == nearest-exact evaluation of the full
+    raster at M^-1(integer crop coords) — by construction, same rays."""
+    verts, faces = make_scene(seed=5, n_tris=25, B=1)
+    center = jnp.asarray([[0.0, 0.0, 100.0]])
+    cube = jnp.asarray([[60.0, 60.0, 60.0]])
+    com = geo.xyz_to_uvd(center, PARAS)
+    M = geo.crop_matrix(com[0], cube[0], PARAS, (32, 32))
+    rays = R.crop_pixel_rays(M, (32, 32))
+    zb = R.rasterize_depth(jnp.asarray(verts), jnp.asarray(faces), rays, PARAS)
+    expected = np_raster(verts[0].astype(np.float64), faces,
+                         np.asarray(rays), PARAS)
+    close = np.isclose(np.asarray(zb[0]), expected, rtol=1e-4, atol=1e-3)
+    assert close.mean() > 0.99
+
+
+def test_splat_points_min():
+    uvd = jnp.asarray([[[1.2, 1.8, 50.0], [1.4, 1.6, 40.0], [3.0, 0.0, 70.0]]])
+    img = np.asarray(R.splat_points_min(uvd, 4))
+    assert img.shape == (1, 4, 4)
+    assert img[0, 1, 1] == 40.0   # min of the two points in cell (1,1)
+    assert img[0, 0, 3] == 70.0
+    assert img[0, 2, 2] == 0.0    # background
