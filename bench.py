@@ -1,0 +1,81 @@
+"""Benchmark: NYU FinetuneStage training throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline anchor: the reference publishes no throughput numbers
+(BASELINE.md).  The per-step workload of its 2-stage self-supervised
+finetune (batch 32: ~5 full-frame pytorch3d rasterizations, >=6 MANO
+LBS passes, 2x(1+15)-mesh point-face distances on 2048-pt clouds, 4
+ResNet-18 forward(+backward) passes, 1 CycleGAN pass) is estimated at
+~200 frames/sec on A100; vs_baseline is measured fps / 200.  The north
+star is vs_baseline >= 5.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+A100_REFERENCE_FPS = 200.0
+BATCH = 32
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dsf_tpu import geometry as geo
+    from dsf_tpu.parallel import mesh as pmesh
+    import __graft_entry__ as ge
+
+    tr = ge._build(batch=BATCH)
+    state = tr.init_state()
+    step = tr.train_step_fn("FinetuneStage")
+
+    rng = np.random.RandomState(0)
+    B = BATCH
+    paras = tr.renderer.paras
+    center = jnp.asarray(
+        rng.uniform([-50, -50, 700], [50, 50, 900], (B, 3)).astype(np.float32))
+    cube = jnp.full((B, 3), 250.0)
+    com = geo.xyz_to_uvd(center, paras)
+    M = geo.crop_matrix(com, cube, paras, (128, 128))
+    batch = {
+        "model_para": jnp.asarray(np.concatenate(
+            [rng.uniform(-1, 1, (B, 3)), rng.randn(B, 45) * 0.5,
+             rng.randn(B, 10) * 0.5, np.ones((B, 1)), np.zeros((B, 3))],
+            axis=1).astype(np.float32)),
+        "cube_synth": jnp.full((B, 3), 250.0),
+        "img": jnp.asarray(rng.uniform(-1, 1, (B, 1, 128, 128)).astype(np.float32)),
+        "xyz_gt": jnp.asarray(rng.uniform(-1, 1, (B, 14, 3)).astype(np.float32)),
+        "center": center, "M": M, "cube": cube,
+    }
+    batch = pmesh.shard_batch(tr.mesh, batch)
+
+    key = jax.random.PRNGKey(0)
+    # warmup / compile
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sub, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sub, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    fps = BATCH / dt
+
+    print(json.dumps({
+        "metric": "nyu_finetune_stage_train_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / A100_REFERENCE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

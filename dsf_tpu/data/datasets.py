@@ -1,0 +1,436 @@
+"""Dataset loaders: NYU / ICVL / MSRA / SHREC-DHG.
+
+Host-side classes replicating the reference's Dataset subclasses
+(render_loader.py:1803-3185): per-sample __getitem__ returning the same
+(img, joint_xyz, joint_uvd, center, M, cube) tuple, plus threaded
+batch iterators that feed fixed-shape NumPy batches to the device loop.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from dsf_tpu.data import crop as C
+from dsf_tpu.data import readers
+from dsf_tpu.mano.constants import (
+    NYU_JOINT_SELECT, NYU_CALCULATE, NYU2MANO)
+
+
+class BaseDataset:
+    paras: tuple
+    ori_img_size: tuple
+    flip: float = 1.0
+
+    def __len__(self):
+        raise NotImplementedError
+
+    def __getitem__(self, i):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------ batching
+
+    def batches(self, batch_size: int, shuffle=False, seed=0,
+                drop_last=True, loop=False) -> Iterator[dict]:
+        rng = np.random.RandomState(seed)
+        n = len(self)
+        while True:
+            order = rng.permutation(n) if shuffle else np.arange(n)
+            end = n - batch_size + 1 if drop_last else n
+            for s in range(0, end, batch_size):
+                idx = order[s:s + batch_size]
+                items = [self[i] for i in idx]
+                yield {k: np.stack([it[k] for it in items])
+                       for k in items[0]}
+            if not loop:
+                return
+
+    def prefetch_batches(self, batch_size: int, prefetch=4, **kw):
+        """Background-thread prefetcher (replaces the reference's
+        BackgroundGenerator + 4 dataloader workers,
+        train_render.py:33-35)."""
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = object()
+
+        def worker():
+            for b in self.batches(batch_size, **kw):
+                q.put(b)
+            q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is stop:
+                return
+            yield b
+
+
+class NYUDataset(BaseDataset):
+    """NYU hand dataset (ref: nyu_loader, render_loader.py:1803-1947).
+
+    Needs: {root}/[train|test]/depth_{view+1}_XXXXXXX.png,
+    joint_data.mat, center_{phase}_{view}_refined.txt, and (optionally)
+    per-frame MANO params in posePara_lm_collosion/.
+    """
+
+    def __init__(self, root_dir, phase, view=0, img_size=128,
+                 cube_size=(250, 250, 250), center_type="refine",
+                 aug_para=(10, 0.2, 180), joint_num=14, type="real",
+                 seed=0):
+        import scipy.io as sio
+        self.paras = (588.03, 587.07, 320.0, 240.0)
+        self.ori_img_size = (640, 480)
+        self.flip = 1.0
+        self.phase = phase
+        self.view = view
+        self.img_size = img_size
+        self.cube_size = np.asarray(cube_size, np.float32)
+        self.aug_para = aug_para
+        self.joint_num = joint_num
+        self.rng = np.random.RandomState(seed)
+
+        data_path = os.path.join(root_dir, phase)
+        self.data_path = data_path
+        labels = sio.loadmat(os.path.join(data_path, "joint_data.mat"))
+        uvd = labels["joint_uvd"][view][:, NYU_JOINT_SELECT][:, NYU_CALCULATE]
+        xyz = labels["joint_xyz"][view][:, NYU_JOINT_SELECT][:, NYU_CALCULATE]
+        # y-negation roundtrip the reference applies (render_loader.py:1830)
+        self.all_joints_uvd = uvd.astype(np.float32)
+        self.all_joints_xyz = C.joint_img_to_3d(
+            C.joint_3d_to_img(xyz, self.paras, flip=-1), self.paras,
+            flip=1).astype(np.float32)
+        xyz_mano = labels["joint_xyz"][view][:, NYU_JOINT_SELECT][:, NYU2MANO]
+        self.all_joints_xyz_mano = C.joint_img_to_3d(
+            C.joint_3d_to_img(xyz_mano, self.paras, flip=-1), self.paras,
+            flip=1).astype(np.float32)
+
+        center_path = os.path.join(
+            data_path, f"center_{phase}_{view}_refined.txt")
+        if center_type == "refine" and os.path.exists(center_path):
+            self.center_xyz = np.loadtxt(center_path).astype(np.float32)
+        else:
+            self.center_xyz = self.all_joints_xyz.mean(1)
+
+        n_test = len(self.all_joints_uvd)
+        self.test_cubesize = np.ones((n_test, 3), np.float32) * self.cube_size
+        if phase == "test":
+            # test cubes shrink x5/6 after frame 2440 (ref :1852-1853)
+            self.test_cubesize[2440:] *= 5.0 / 6.0
+
+    def __len__(self):
+        return len(self.all_joints_uvd)
+
+    def __getitem__(self, index):
+        img_path = os.path.join(
+            self.data_path, f"depth_{self.view + 1}_{index + 1:07d}.png")
+        depth = readers.nyu_reader(img_path)
+
+        joint_xyz = self.all_joints_xyz[index].copy()
+        cube_size = (self.test_cubesize[index] if self.phase == "test"
+                     else self.cube_size).astype(np.float64)
+        center_xyz = self.center_xyz[index]
+        center_uvd = C.joint_3d_to_img(center_xyz, self.paras, self.flip)
+
+        gt3Dcrop = joint_xyz - center_xyz.reshape(1, 3)
+        depth_crop, trans = C.crop_image_deep_pp(
+            depth, center_uvd, cube_size, (self.img_size, self.img_size),
+            self.paras)
+        if self.phase == "train":
+            mode, off, rot, sc = C.rand_augment(
+                self.rng, self.aug_para[0], self.aug_para[1], self.aug_para[2])
+            imgD, curLabel, cube, com2D, M, _ = C.augment_crop(
+                depth_crop, gt3Dcrop, center_uvd, cube_size, trans, mode,
+                off, rot, sc, self.paras, self.flip)
+            curLabel = curLabel / (cube[2] / 2.0)
+        else:
+            imgD = C.normalize_img(depth_crop.max(), depth_crop, center_xyz,
+                                   cube_size)
+            curLabel = gt3Dcrop / (cube_size[2] / 2.0)
+            cube = np.array(cube_size)
+            com2D = center_uvd
+            M = trans
+
+        com3D = C.joint_img_to_3d(com2D, self.paras, self.flip)
+        joint_img = C.transform_points_2d(
+            C.joint_3d_to_img(curLabel * (cube[0] / 2.0) + com3D,
+                              self.paras, self.flip), M)
+        joint_img[:, 0:2] = joint_img[:, 0:2] / (self.img_size / 2) - 1
+        joint_img[:, 2] = (joint_img[:, 2] - com3D[2]) / (cube[0] / 2.0)
+
+        return {
+            "img": imgD[None].astype(np.float32),
+            "xyz_gt": curLabel.astype(np.float32),
+            "uvd_gt": joint_img.astype(np.float32),
+            "center": com3D.astype(np.float32),
+            "M": M.astype(np.float32),
+            "cube": cube.astype(np.float32),
+        }
+
+
+class ICVLDataset(BaseDataset):
+    """ICVL with the left->right flip (ref: flip_icvl_loader,
+    render_loader.py:2305-2455).  Expects {root}/[Training|Testing]
+    layout with centers and label txts."""
+
+    def __init__(self, root_dir, phase, img_size=128,
+                 cube_size=(200, 200, 200), center_type="refine",
+                 aug_para=(10, 0.2, 180), seed=0):
+        self.paras = (240.99, 240.96, 160.0, 120.0)
+        self.ori_img_size = (320, 240)
+        self.flip = 1.0
+        self.phase = phase
+        self.img_size = img_size
+        self.cube_size = np.asarray(cube_size, np.float32)
+        self.aug_para = aug_para
+        self.rng = np.random.RandomState(seed)
+        self.root_dir = root_dir
+
+        phase_dir = "Training" if phase == "train" else "Testing"
+        label_path = os.path.join(root_dir, phase_dir, "labels.txt")
+        center_path = os.path.join(root_dir, phase_dir,
+                                   f"center_{phase}_refined.txt")
+        self.img_names = []
+        uvds = []
+        with open(label_path) as f:
+            for line in f:
+                parts = line.strip().split()
+                if len(parts) < 1 + 16 * 3:
+                    continue
+                self.img_names.append(parts[0])
+                uvds.append(np.asarray(parts[1:1 + 48], np.float32).reshape(16, 3))
+        self.all_joints_uvd = np.stack(uvds) if uvds else np.zeros((0, 16, 3))
+        # LR flip of u (image flipped at read time)
+        self.all_joints_uvd[:, :, 0] = \
+            self.ori_img_size[0] - self.all_joints_uvd[:, :, 0]
+        self.all_joints_xyz = C.joint_img_to_3d(
+            self.all_joints_uvd, self.paras, self.flip)
+        if center_type == "refine" and os.path.exists(center_path):
+            self.center_xyz = np.loadtxt(center_path).astype(np.float32)
+            self.center_xyz[:, 0] = -self.center_xyz[:, 0]
+        else:
+            self.center_xyz = self.all_joints_xyz.mean(1)
+
+    def __len__(self):
+        return len(self.img_names)
+
+    def __getitem__(self, index):
+        phase_dir = "Training" if self.phase == "train" else "Testing"
+        img_path = os.path.join(self.root_dir, phase_dir, "Depth",
+                                self.img_names[index])
+        depth = readers.icvl_reader(img_path)
+        depth = depth[:, ::-1].copy()               # LR flip (ref :2331-2341)
+
+        joint_xyz = self.all_joints_xyz[index].copy()
+        cube_size = self.cube_size.astype(np.float64)
+        center_xyz = self.center_xyz[index]
+        center_uvd = C.joint_3d_to_img(center_xyz, self.paras, self.flip)
+
+        gt3Dcrop = joint_xyz - center_xyz.reshape(1, 3)
+        depth_crop, trans = C.crop_image_deep_pp(
+            depth, center_uvd, cube_size, (self.img_size, self.img_size),
+            self.paras)
+        if self.phase == "train":
+            mode, off, rot, sc = C.rand_augment(
+                self.rng, self.aug_para[0], self.aug_para[1], self.aug_para[2])
+            imgD, curLabel, cube, com2D, M, _ = C.augment_crop(
+                depth_crop, gt3Dcrop, center_uvd, cube_size, trans, mode,
+                off, rot, sc, self.paras, self.flip)
+            curLabel = curLabel / (cube[2] / 2.0)
+        else:
+            imgD = C.normalize_img(depth_crop.max(), depth_crop, center_xyz,
+                                   cube_size)
+            curLabel = gt3Dcrop / (cube_size[2] / 2.0)
+            cube = np.array(cube_size)
+            com2D = center_uvd
+            M = trans
+
+        com3D = C.joint_img_to_3d(com2D, self.paras, self.flip)
+        joint_img = C.transform_points_2d(
+            C.joint_3d_to_img(curLabel * (cube[0] / 2.0) + com3D,
+                              self.paras, self.flip), M)
+        joint_img[:, 0:2] = joint_img[:, 0:2] / (self.img_size / 2) - 1
+        joint_img[:, 2] = (joint_img[:, 2] - com3D[2]) / (cube[0] / 2.0)
+        return {
+            "img": imgD[None].astype(np.float32),
+            "xyz_gt": curLabel.astype(np.float32),
+            "uvd_gt": joint_img.astype(np.float32),
+            "center": com3D.astype(np.float32),
+            "M": M.astype(np.float32),
+            "cube": cube.astype(np.float32),
+        }
+
+
+class MSRADataset(BaseDataset):
+    """MSRA 9-subject leave-one-out (ref: msra_loader,
+    render_loader.py:2458-2620)."""
+
+    PERSON_CUBES = [200, 200, 200, 180, 180, 180, 170, 160, 150]
+    GESTURES = ["1", "2", "3", "4", "5", "6", "7", "8", "9", "I", "IP", "L",
+                "MP", "RP", "T", "TIP", "Y"]
+
+    def __init__(self, root_dir, phase, test_persons=0, img_size=128,
+                 center_type="refine", aug_para=(10, 0.2, 180), seed=0):
+        self.paras = (241.42, 241.42, 160.0, 120.0)
+        self.ori_img_size = (320, 240)
+        self.flip = 1.0
+        self.phase = phase
+        self.img_size = img_size
+        self.aug_para = aug_para
+        self.rng = np.random.RandomState(seed)
+        self.root_dir = root_dir
+
+        persons = ([test_persons] if phase == "test"
+                   else [p for p in range(9) if p != test_persons])
+        self.files = []
+        self.cubes = []
+        self.joints_xyz = []
+        for p in persons:
+            cube = float(self.PERSON_CUBES[p])
+            pdir = os.path.join(root_dir, f"P{p}")
+            if not os.path.isdir(pdir):
+                continue
+            for g in self.GESTURES:
+                gdir = os.path.join(pdir, g)
+                jfile = os.path.join(gdir, "joint.txt")
+                if not os.path.exists(jfile):
+                    continue
+                with open(jfile) as f:
+                    n = int(f.readline())
+                    data = np.loadtxt(f).reshape(n, 21, 3)
+                # world->our convention: y and z negated in the raw file
+                data[:, :, 1] = -data[:, :, 1]
+                data[:, :, 2] = -data[:, :, 2]
+                for i in range(n):
+                    self.files.append(os.path.join(gdir, f"{i:06d}_depth.bin"))
+                    self.cubes.append(cube)
+                    self.joints_xyz.append(data[i])
+        self.joints_xyz = (np.stack(self.joints_xyz).astype(np.float32)
+                           if self.joints_xyz else np.zeros((0, 21, 3), np.float32))
+        self.center_xyz = (self.joints_xyz.mean(1)
+                           if len(self.joints_xyz) else np.zeros((0, 3)))
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, index):
+        depth, _ = readers.msra_reader(self.files[index], self.paras)
+        cube = float(self.cubes[index])
+        cube_size = np.asarray([cube, cube, cube], np.float64)
+        joint_xyz = self.joints_xyz[index].copy()
+        center_xyz = self.center_xyz[index]
+        center_uvd = C.joint_3d_to_img(center_xyz, self.paras, self.flip)
+
+        gt3Dcrop = joint_xyz - center_xyz.reshape(1, 3)
+        depth_crop, trans = C.crop_image_deep_pp(
+            depth, center_uvd, cube_size, (self.img_size, self.img_size),
+            self.paras)
+        if self.phase == "train":
+            mode, off, rot, sc = C.rand_augment(
+                self.rng, self.aug_para[0], self.aug_para[1], self.aug_para[2])
+            imgD, curLabel, cube_a, com2D, M, _ = C.augment_crop(
+                depth_crop, gt3Dcrop, center_uvd, cube_size, trans, mode,
+                off, rot, sc, self.paras, self.flip)
+            curLabel = curLabel / (cube_a[2] / 2.0)
+            cube_size = cube_a
+        else:
+            imgD = C.normalize_img(depth_crop.max(), depth_crop, center_xyz,
+                                   cube_size)
+            curLabel = gt3Dcrop / (cube_size[2] / 2.0)
+            com2D = center_uvd
+            M = trans
+
+        com3D = C.joint_img_to_3d(com2D, self.paras, self.flip)
+        joint_img = C.transform_points_2d(
+            C.joint_3d_to_img(curLabel * (cube_size[0] / 2.0) + com3D,
+                              self.paras, self.flip), M)
+        joint_img[:, 0:2] = joint_img[:, 0:2] / (self.img_size / 2) - 1
+        joint_img[:, 2] = (joint_img[:, 2] - com3D[2]) / (cube_size[0] / 2.0)
+        return {
+            "img": imgD[None].astype(np.float32),
+            "xyz_gt": curLabel.astype(np.float32),
+            "uvd_gt": joint_img.astype(np.float32),
+            "center": com3D.astype(np.float32),
+            "M": M.astype(np.float32),
+            "cube": np.asarray(cube_size, np.float32),
+        }
+
+
+class SHRECDataset(BaseDataset):
+    """SHREC'17 gesture sequences for skeleton export (ref: shrec_loader,
+    render_loader.py:3078-3185).  Joints come from previously exported
+    predictions; centers are their uv-mean + depth mean."""
+
+    def __init__(self, root_dir, img_size=128, cube_size=(200, 200, 200),
+                 aug_para=(0, 0, 0), seed=0, pred_file="skeletons_world_pred.txt"):
+        self.paras = (463.889, 463.889, 320.0, 240.0)
+        self.ori_img_size = (640, 480)
+        self.flip = 1.0
+        self.phase = "train"
+        self.img_size = img_size
+        self.cube_size = np.asarray(cube_size, np.float32)
+        self.aug_para = aug_para
+        self.rng = np.random.RandomState(seed)
+        self.root_dir = root_dir
+        self.samples = []     # (depth_path, joints_xyz or None, seq_id, frame)
+        for dirpath, _, files in os.walk(root_dir):
+            depths = sorted(f for f in files if f.endswith("_depth.png"))
+            if not depths:
+                continue
+            pred = os.path.join(dirpath, pred_file)
+            joints = None
+            if os.path.exists(pred):
+                joints = np.loadtxt(pred).reshape(-1, 21, 3)
+            for i, fname in enumerate(depths):
+                j = joints[i] if joints is not None and i < len(joints) else None
+                self.samples.append((os.path.join(dirpath, fname), j,
+                                     dirpath, i))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, index):
+        path, joints, seq, frame = self.samples[index]
+        depth = readers.shrec_reader(path)
+        if joints is None:
+            # bootstrap center from the depth blob
+            fg = (depth > 100) & (depth < 1000)
+            vs, us = np.nonzero(fg)
+            center_uvd = np.asarray([us.mean(), vs.mean(),
+                                     depth[fg].mean()], np.float32)
+            center_xyz = C.joint_img_to_3d(center_uvd, self.paras, self.flip)
+            joint_xyz = np.tile(center_xyz, (21, 1))
+        else:
+            joint_xyz = joints.astype(np.float32)
+            uvd = C.joint_3d_to_img(joint_xyz, self.paras, self.flip)
+            center_uvd = np.asarray(
+                [uvd[:, 0].mean(), uvd[:, 1].mean(), uvd[:, 2].mean()],
+                np.float32)
+            center_xyz = C.joint_img_to_3d(center_uvd, self.paras, self.flip)
+
+        cube_size = self.cube_size.astype(np.float64)
+        gt3Dcrop = joint_xyz - center_xyz.reshape(1, 3)
+        depth_crop, trans = C.crop_image_deep_pp(
+            depth, center_uvd, cube_size, (self.img_size, self.img_size),
+            self.paras)
+        imgD = C.normalize_img(depth_crop.max(), depth_crop, center_xyz,
+                               cube_size)
+        curLabel = gt3Dcrop / (cube_size[2] / 2.0)
+        com3D = C.joint_img_to_3d(center_uvd, self.paras, self.flip)
+        joint_img = C.transform_points_2d(
+            C.joint_3d_to_img(curLabel * (cube_size[0] / 2.0) + com3D,
+                              self.paras, self.flip), trans)
+        joint_img[:, 0:2] = joint_img[:, 0:2] / (self.img_size / 2) - 1
+        joint_img[:, 2] = (joint_img[:, 2] - com3D[2]) / (cube_size[0] / 2.0)
+        return {
+            "img": imgD[None].astype(np.float32),
+            "xyz_gt": curLabel.astype(np.float32),
+            "uvd_gt": joint_img.astype(np.float32),
+            "center": com3D.astype(np.float32),
+            "M": trans.astype(np.float32),
+            "cube": np.asarray(cube_size, np.float32),
+        }

@@ -1,0 +1,145 @@
+"""Dual-branch pose networks (ref: model/backbone.py:94-343) in Flax.
+
+`ManoOCRStage` is the default net: a shared ResNet-18 trunk with two
+heads per stage — (a) a MANO parameter regressor (62-D) and (b) a
+3-deconv dense decoder emitting a 4J-channel offset feature at 64x64.
+With ``refine=True`` the stage-2 cascade re-renders the stage-1 MANO
+prediction (the model graph CONTAINS the differentiable renderer —
+ref backbone.py:304), re-encodes it with the offset codec, fuses with
+stage-1 features, and runs a second trunk + heads.
+
+The renderer is passed into __call__ as a pytree argument so the whole
+two-stage graph stays jit/pjit-traceable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dsf_tpu.models.layers import (
+    Conv, BatchNorm, ConvBNRelu, DeconvBNRelu, max_pool_3x3_s2,
+    adaptive_avg_pool_1, normal001_init)
+from dsf_tpu.models.resnet import RESNET_SPECS, ResLayer
+from dsf_tpu.ops.offset_codec import joint2offset
+from dsf_tpu.render import renderer as rnd
+
+MANO_PARAM_DIM = 3 + 45 + 10 + 4
+
+
+class _Trunk(nn.Module):
+    """pre-stem (conv5x5 stride-1 + maxpool) + ResNet stages
+    (ref: backbone.py:198-208).  Returns (c0, c4)."""
+    depth: int = 18
+    stem: bool = True
+    in_planes: int = 64
+    bn_axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        block, layers = RESNET_SPECS[self.depth]
+        if self.stem:
+            x = Conv(64, 5, 1, 2, dtype=self.dtype, name="pre_conv")(x)
+            x = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                          name="pre_bn")(x, train)
+            x = nn.relu(x)
+            x = max_pool_3x3_s2(x)
+        c0 = x
+        inp = self.in_planes
+        exp = block.expansion
+        x = ResLayer(block, 64, layers[0], 1, inp, self.bn_axis_name,
+                     self.dtype, name="layer1")(x, train)
+        x = ResLayer(block, 128, layers[1], 2, 64 * exp, self.bn_axis_name,
+                     self.dtype, name="layer2")(x, train)
+        x = ResLayer(block, 256, layers[2], 2, 128 * exp, self.bn_axis_name,
+                     self.dtype, name="layer3")(x, train)
+        x = ResLayer(block, 512, layers[3], 2, 256 * exp, self.bn_axis_name,
+                     self.dtype, name="layer4")(x, train)
+        return c0, x
+
+
+class _Heads(nn.Module):
+    """MANO regressor + dense decoder heads (ref: backbone.py:209-221)."""
+    joint_num: int
+    bn_axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, c4, train: bool = True):
+        mano_para = nn.Dense(MANO_PARAM_DIM, kernel_init=normal001_init,
+                             dtype=self.dtype, name="mano_regress")(
+            adaptive_avg_pool_1(c4))
+        x = DeconvBNRelu(256, self.bn_axis_name, self.dtype,
+                         name="deconv4")(c4, train)
+        x = DeconvBNRelu(256, self.bn_axis_name, self.dtype,
+                         name="deconv3")(x, train)
+        feat = DeconvBNRelu(256, self.bn_axis_name, self.dtype,
+                            name="deconv2")(x, train)
+        off = Conv(self.joint_num * 3, 1, 1, 0, use_bias=True,
+                   kernel_init=normal001_init, dtype=self.dtype,
+                   name="final_offset")(feat)
+        heat = Conv(self.joint_num, 1, 1, 0, use_bias=True,
+                    kernel_init=normal001_init, dtype=self.dtype,
+                    name="final_heat")(feat)
+        img_result = jnp.concatenate([off, heat], axis=1)
+        return img_result, mano_para, feat
+
+
+class ManoOCR(nn.Module):
+    """Single-stage variant (ref: MANO_OCR, backbone.py:94-185)."""
+    joint_num: int = 21
+    depth: int = 18
+    bn_axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, img, train: bool = True):
+        _, c4 = _Trunk(self.depth, True, 64, self.bn_axis_name, self.dtype,
+                       name="trunk")(img, train)
+        img_result, mano_para, _ = _Heads(
+            self.joint_num, self.bn_axis_name, self.dtype,
+            name="heads")(c4, train)
+        return [[img_result, mano_para]]
+
+
+class ManoOCRStage(nn.Module):
+    """Dual-branch two-stage net (ref: MANO_OCR_stage, backbone.py:188-323)."""
+    joint_num: int = 21
+    depth: int = 18
+    refine: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, img, render: Optional[rnd.Renderer] = None,
+                 center=None, cube=None, train: bool = True):
+        c0, c4 = _Trunk(self.depth, True, 64, self.bn_axis_name, self.dtype,
+                        name="trunk")(img, train)
+        img_result, mano_para, img_feature = _Heads(
+            self.joint_num, self.bn_axis_name, self.dtype,
+            name="heads")(c4, train)
+
+        if not self.refine:
+            return [[img_result, mano_para]]
+
+        # stage 2: re-render stage-1 MANO inside the forward pass.
+        # The remap feature size equals the decoder resolution (input/2;
+        # the reference hardcodes 64 for its 128 inputs, backbone.py:305).
+        mano_img, mano_joint_uvd, _, _ = rnd.render_params(
+            render, mano_para.astype(jnp.float32), center, cube)
+        remap = joint2offset(mano_joint_uvd, mano_img, 0.8,
+                             img_result.shape[-1])
+        fusion = jnp.concatenate(
+            [c0, img_feature, img_result,
+             remap.astype(img_result.dtype)], axis=1)
+        x = ConvBNRelu(256, 3, self.bn_axis_name, self.dtype,
+                       name="fusion")(fusion, train)
+        _, c4_s2 = _Trunk(self.depth, False, 256, self.bn_axis_name,
+                          self.dtype, name="trunk_s2")(x, train)
+        img_result_s2, mano_para_s2, _ = _Heads(
+            self.joint_num, self.bn_axis_name, self.dtype,
+            name="heads_s2")(c4_s2, train)
+        return [[img_result, mano_para], [img_result_s2, mano_para_s2]]

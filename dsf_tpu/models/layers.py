@@ -1,0 +1,141 @@
+"""Torch-semantics building blocks in Flax.
+
+Padding / stride / norm conventions are matched to the torch modules the
+reference uses so that (a) converted checkpoints are bit-compatible and
+(b) training dynamics line up.  NCHW layout throughout (matches the
+reference and keeps channel dims on the lane axis for TPU convs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def kaiming_out_init(key, shape, dtype=jnp.float32):
+    """Reference conv init: normal(0, sqrt(2 / (k*k*out_ch)))
+    (model/backbone.py:246-250).  Flax HWIO shape (kh, kw, in, out)."""
+    kh, kw, _, out = shape
+    n = kh * kw * out
+    return jax.random.normal(key, shape, dtype) * jnp.sqrt(2.0 / n)
+
+
+def normal001_init(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype) * 0.001
+
+
+class Conv(nn.Module):
+    """torch nn.Conv2d equivalent (NCHW)."""
+    features: int
+    kernel: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = False
+    kernel_init: Callable = kaiming_out_init
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding),) * 2,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            dtype=self.dtype, name="conv",
+        )(x.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+
+
+class BatchNorm(nn.Module):
+    """torch nn.BatchNorm2d(momentum=0.1) equivalent for NCHW input.
+
+    Optional cross-device stat sync via ``axis_name`` (the reference is
+    single-GPU BN with batch 32; under DP keep per-device batch 32 to
+    match statistics, or sync for large global batches).
+    """
+    momentum: float = 0.9     # flax decay == 1 - torch momentum
+    axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum, epsilon=1e-5,
+            axis_name=self.axis_name, dtype=self.dtype, name="bn",
+        )(x.transpose(0, 2, 3, 1))
+        return y.transpose(0, 3, 1, 2)
+
+
+class ConvTranspose(nn.Module):
+    """torch nn.ConvTranspose2d(k, stride=2, padding=1) equivalent: exact
+    2x upsampling (out = 2*in for k=4,p=1 and k=3,p=1,output_padding=1)."""
+    features: int
+    kernel: int = 4
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 0
+    use_bias: bool = False
+    kernel_init: Callable = normal001_init
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p, op = self.kernel, self.stride, self.padding, self.output_padding
+        # torch output: (i-1)*s - 2p + k + op.  lax.conv_transpose with
+        # explicit padding gives out = (i-1)*s + k - 2(k-1) + padL + padR,
+        # so torch padding p maps to padL = k-1-p and output_padding adds
+        # to the high side: padR = k-1-p+op.
+        return nn.ConvTranspose(
+            self.features, (k, k), strides=(s, s),
+            padding=((k - 1 - p, k - 1 - p + op),) * 2,
+            use_bias=self.use_bias, kernel_init=self.kernel_init,
+            transpose_kernel=True, dtype=self.dtype, name="deconv",
+        )(x.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+
+
+def max_pool_3x3_s2(x):
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NCHW."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 1, 3, 3), window_strides=(1, 1, 2, 2),
+        padding=((0, 0), (0, 0), (1, 1), (1, 1)))
+
+
+def adaptive_avg_pool_1(x):
+    """torch AdaptiveAvgPool2d(1) + flatten on NCHW."""
+    return x.mean(axis=(-1, -2))
+
+
+class ConvBNRelu(nn.Module):
+    """ref conv_bn_relu (backbone.py:16-27): conv k, stride 1, pad 1."""
+    features: int
+    kernel: int = 3
+    bn_axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = Conv(self.features, self.kernel, 1, 1, dtype=self.dtype,
+                 name="conv")(x)
+        x = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                      name="bn")(x, train)
+        return nn.relu(x)
+
+
+class DeconvBNRelu(nn.Module):
+    """ref convtranspose_bn_relu (backbone.py:30-42): deconv k4 s2 p1."""
+    features: int
+    bn_axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = ConvTranspose(self.features, 4, 2, 1, dtype=self.dtype,
+                          name="deconv")(x)
+        x = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                      name="bn")(x, train)
+        return nn.relu(x)

@@ -1,0 +1,98 @@
+"""Depth-image <-> point-cloud ops with fixed shapes.
+
+Device-side rewrites of the dataset-object tensor utilities the
+reference trainer calls every iteration (render_loader.py:1121-1227):
+Img2pcl (fixed-N cloud resampling), uvdImg2xyzImg, crop_hand, pcl2Img.
+The reference's per-sample python loops and multinomial draws become
+masked argsorts — fixed shapes, one fused kernel under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dsf_tpu import geometry as geo
+from dsf_tpu.ops.image import resize_nearest
+
+
+def uvd_image_grid(img, img_size):
+    """(B, 1, S, S) depth -> (B, 3, S, S) normalized uvd per pixel using
+    the corner-anchored grid (ref: render_loader.py:1194-1198)."""
+    B, _, S, _ = img.shape
+    r = jnp.arange(S, dtype=img.dtype) / (S - 1.0) * 2.0 - 1.0
+    vg, ug = jnp.meshgrid(r, r, indexing="ij")
+    u = jnp.broadcast_to(ug, (B, 1, S, S))
+    v = jnp.broadcast_to(vg, (B, 1, S, S))
+    return jnp.concatenate([u, v, img], axis=1)
+
+
+def uvd_img_to_xyz_img(img, center, M, cube, paras, img_size, flip=1.0):
+    """(B,1,S,S) -> (xyz mm (B,3,S,S), xyz normalized (B,3,S,S))
+    (ref: uvdImg2xyzImg, render_loader.py:1190-1201)."""
+    B, _, S, _ = img.shape
+    uvd = uvd_image_grid(img, img_size).reshape(B, 3, S * S).transpose(0, 2, 1)
+    xyz = geo.uvd_nl_to_xyz(uvd, center, M, cube, paras, img_size, flip)
+    xyz_nl = (xyz - center[:, None, :]) / (cube[:, None, :] / 2.0)
+    to_img = lambda a: a.transpose(0, 2, 1).reshape(B, 3, S, S)
+    return to_img(xyz), to_img(xyz_nl)
+
+
+def crop_hand(img, joint_nl, center, M, cube, paras, img_size,
+              offsetxy=25.0, offsetz=20.0, hand_thickness=20.0, flip=1.0):
+    """Remove arm/background outside the joint AABB (+margins); outside
+    pixels -> background (+1).  (ref: crop_hand, render_loader.py:1209-1227.)
+    """
+    skel = joint_nl * cube[:, None] / 2.0 + center[:, None]
+    mins = skel.min(axis=1) - jnp.asarray([offsetxy, offsetxy,
+                                           offsetz + hand_thickness])
+    maxs = skel.max(axis=1) + jnp.asarray([offsetxy, offsetxy, offsetz])
+    xyz, _ = uvd_img_to_xyz_img(img, center, M, cube, paras, img_size, flip)
+    lo = mins[:, :, None, None]
+    hi = maxs[:, :, None, None]
+    inside = ((xyz > lo) & (xyz < hi)).all(axis=1, keepdims=True)
+    return jnp.where(inside, img, jnp.ones_like(img))
+
+
+def img_to_pcl(key, img, center, M, cube, paras, img_size,
+               sample_num=2048, feature_size=128, flip=1.0):
+    """Fixed-N point cloud from foreground pixels (ref: Img2pcl,
+    render_loader.py:1121-1156).
+
+    The reference repeats the valid set floor(N/n) times then draws the
+    remainder by multinomial; here each valid pixel appears floor- or
+    ceil-(N/n) times via modular indexing of a random permutation — same
+    support and near-identical multiplicity, fixed shape under jit.
+    Empty images yield zeros (as the reference does).
+    """
+    B = img.shape[0]
+    img_rs = resize_nearest(img, (feature_size, feature_size))
+    uvd = uvd_image_grid(img_rs, img_size).reshape(B, 3, -1).transpose(0, 2, 1)
+    valid = (img_rs <= 0.99).reshape(B, -1)
+    xyz = geo.uvd_nl_to_xyz_nl(uvd, center, M, cube, paras, img_size, flip)
+
+    score = jax.random.uniform(key, valid.shape)
+    score = jnp.where(valid, score, -1.0)
+    order = jnp.argsort(-score, axis=-1)           # valid first, random order
+    n_valid = valid.sum(-1)
+    take = jnp.arange(sample_num)[None, :] % jnp.maximum(n_valid, 1)[:, None]
+    idx = jnp.take_along_axis(order, take, axis=-1)
+    pcl = jnp.take_along_axis(xyz, idx[..., None], axis=1)
+    return jnp.where((n_valid > 0)[:, None, None], pcl, 0.0)
+
+
+def pcl_to_img(pcl_nl, feature_size, center, M, cube, paras, img_size, flip=1.0):
+    """Scatter a normalized cloud back into a depth image; later points
+    overwrite earlier ones as torch.scatter does (ref: pcl2Img,
+    render_loader.py:1158-1171).  Background = 1."""
+    B, N, _ = pcl_nl.shape
+    uvd = geo.xyz_nl_to_uvd_nl(pcl_nl, center, M, cube, paras, img_size, flip)
+    uv = jnp.clip((uvd[..., :2] + 1.0) / 2.0, 0.0, 1.0) * (feature_size - 1)
+    lin = (jnp.floor(uv[..., 1]) * feature_size + uv[..., 0]).astype(jnp.int32)
+
+    def one(lin_i, d_i):
+        return jnp.ones((feature_size * feature_size,),
+                        pcl_nl.dtype).at[lin_i].set(d_i)
+
+    out = jax.vmap(one)(lin, uvd[..., 2])
+    return out.reshape(B, 1, feature_size, feature_size)

@@ -139,15 +139,56 @@ def _argmin_faces(points, tris, face_allowed=None):
     return dmin, imin
 
 
-def point_face_distance(points, verts, faces, face_allowed=None):
+def _argmin_faces_pruned(points, tris, k, face_allowed=None):
+    """Candidate-pruned nearest-face search.
+
+    Exact point-triangle distance costs ~100 VPU flops/pair; the
+    face-centroid distance is matmul-shaped (p.c on the MXU).  We rank
+    faces by the LOWER BOUND (centroid distance - face radius), take the
+    top-k candidates per point, and run the exact distance only on those.
+    The bound makes this exact whenever the true nearest face's lower
+    bound ranks within the top k — guaranteed in practice for hand
+    meshes whose face radii are tiny relative to spacing; validated
+    against the dense path in tests.
+    """
+    points = jax.lax.stop_gradient(points)
+    tris = jax.lax.stop_gradient(tris)
+    cent = tris.mean(axis=-2)                              # (B, T, 3)
+    rad2 = jnp.max(jnp.sum((tris - cent[..., None, :]) ** 2, -1), -1)
+    rad = jnp.sqrt(rad2)                                   # (B, T)
+
+    # ||p - c||^2 = ||p||^2 - 2 p.c + ||c||^2 ; p.c on the MXU
+    pc = jnp.einsum("bpk,btk->bpt", points, cent,
+                    preferred_element_type=jnp.float32)
+    d2 = (jnp.sum(points ** 2, -1)[..., None]
+          - 2.0 * pc + jnp.sum(cent ** 2, -1)[:, None, :])
+    lower = jnp.sqrt(jnp.maximum(d2, 0.0)) - rad[:, None, :]
+    if face_allowed is not None:
+        lower = jnp.where(face_allowed, lower, _INF)
+    _, idx = jax.lax.top_k(-lower, k)                      # (B, P, k)
+    cand = jnp.take_along_axis(tris[:, None], idx[..., None, None],
+                               axis=2)                     # (B, P, k, 3, 3)
+    d = point_tri_sqdist(points[:, :, None, :], cand)
+    which = jnp.argmin(d, -1)
+    return (jnp.min(d, -1),
+            jnp.take_along_axis(idx, which[..., None], -1)[..., 0])
+
+
+def point_face_distance(points, verts, faces, face_allowed=None,
+                        prune_k: int | None = 64):
     """Per-point SQUARED distance to the nearest (allowed) face.
 
     points (B, P, 3); verts (B, V, 3); faces (T, 3) int;
     face_allowed: optional (B, P, T) bool of admissible faces per point.
-    Differentiable wrt points and verts through the winning face only.
+    prune_k: use the MXU centroid-pruned search with k candidates
+    (None = dense chunked scan).  Differentiable wrt points and verts
+    through the winning face only.
     """
     tris = verts[:, faces]                     # (B, T, 3, 3)
-    _, imin = _argmin_faces(points, tris, face_allowed)
+    if prune_k is not None and prune_k < faces.shape[0]:
+        _, imin = _argmin_faces_pruned(points, tris, prune_k, face_allowed)
+    else:
+        _, imin = _argmin_faces(points, tris, face_allowed)
     win = jnp.take_along_axis(
         tris, imin[..., None, None].astype(jnp.int32), axis=1)  # (B,P,3,3)
     return point_tri_sqdist(points, win)

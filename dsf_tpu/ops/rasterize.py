@@ -73,13 +73,13 @@ def crop_pixel_rays(M, crop_size):
 
 
 def _face_coeffs(proj, faces):
-    """Per-face linear coefficients of the 3 edge functions and depth.
+    """Per-face linear coefficients of the 3 edge functions and depth,
+    preconditioned for the inner loop: the area sign is folded into the
+    edge coefficients (inside test becomes plain >= 0) and 1/A into the
+    depth line (z = az u + bz v + cz, no division per pixel).
 
     proj: (B, V, 3) projected verts; faces: (F, 3) int.
-    Returns a, b, c: (B, F, 3) with w_k(u,v) = a_k u + b_k v + c_k;
-    A = sum_k c_k evaluated... no: A (2x signed area) = w0+w1+w2 which is
-    constant = c0+c1+c2 only when Σa=Σb=0 (true by construction);
-    az, bz, cz: (B, F) with z(u,v) = (az u + bz v + cz) / A.
+    Returns a, b, c: (B, F, 3); az, bz, cz: (B, F); valid: (B, F).
     """
     tri = proj[:, faces]                       # (B, F, 3, 3)
     u0, v0, z0 = tri[..., 0, 0], tri[..., 0, 1], tri[..., 0, 2]
@@ -90,12 +90,15 @@ def _face_coeffs(proj, faces):
     c = jnp.stack([u1 * v2 - u2 * v1, u2 * v0 - u0 * v2, u0 * v1 - u1 * v0],
                   axis=-1)
     A = c.sum(-1)                               # (B, F), 2x signed area
+    valid = jnp.abs(A) > 1e-9
+    sgn = jnp.sign(A)[..., None]
+    a, b, c = a * sgn, b * sgn, c * sgn         # inside test: all >= 0
     z = jnp.stack([z0, z1, z2], axis=-1)        # (B, F, 3)
-    az = (a * z).sum(-1)
-    bz = (b * z).sum(-1)
-    cz = (c * z).sum(-1)
-    zmin_face = jnp.min(z, axis=-1)
-    return a, b, c, A, az, bz, cz, zmin_face
+    Ainv = jnp.where(valid, 1.0 / jnp.where(valid, A, 1.0), 0.0)
+    az = (a * z).sum(-1) * (sgn[..., 0] * Ainv)
+    bz = (b * z).sum(-1) * (sgn[..., 0] * Ainv)
+    cz = (c * z).sum(-1) * (sgn[..., 0] * Ainv)
+    return a, b, c, az, bz, cz, valid
 
 
 def _pad_to_multiple(x, axis, m, value):
@@ -114,38 +117,36 @@ def _raster_scan(proj, pix_uv, faces):
     proj (B,V,3), pix_uv (B,P,2), faces (F,3) -> zbuf (B,P), idx (B,P).
     """
     B, P = pix_uv.shape[0], pix_uv.shape[1]
-    a, b, c, A, az, bz, cz, zmf = _face_coeffs(proj, faces)
+    a, b, c, az, bz, cz, valid = _face_coeffs(proj, faces)
     F = faces.shape[0]
 
-    # pad faces to a chunk multiple with degenerate (A=0) faces
+    # pad faces to a chunk multiple with degenerate faces
     def padf(x):
         return _pad_to_multiple(x, 1, _FACE_CHUNK, 0.0)
 
     a, b, c = padf(a), padf(b), padf(c)
-    A, az, bz, cz, zmf = padf(A), padf(az), padf(bz), padf(cz), padf(zmf)
-    Fp = A.shape[1]
+    az, bz, cz = padf(az), padf(bz), padf(cz)
+    valid = _pad_to_multiple(valid, 1, _FACE_CHUNK, False)
+    Fp = az.shape[1]
     nc = Fp // _FACE_CHUNK
 
     def reshape_chunks(x):
         return jnp.moveaxis(
             x.reshape(B, nc, _FACE_CHUNK, *x.shape[2:]), 1, 0)
 
-    xs = tuple(reshape_chunks(x) for x in (a, b, c, A, az, bz, cz))
+    xs = tuple(reshape_chunks(x) for x in (a, b, c, az, bz, cz, valid))
 
     u = pix_uv[..., 0:1]                        # (B, P, 1)
     v = pix_uv[..., 1:2]
 
     def body(carry, chunk):
         zmin, idx, offset = carry
-        ca, cb, cc, cA, caz, cbz, ccz = chunk   # (B, Fc, ...)
-        sgn = jnp.sign(cA)[:, None, :]          # (B, 1, Fc)
+        ca, cb, cc, caz, cbz, ccz, cval = chunk  # (B, Fc, ...)
         e0 = (u * ca[:, None, :, 0] + v * cb[:, None, :, 0] + cc[:, None, :, 0])
         e1 = (u * ca[:, None, :, 1] + v * cb[:, None, :, 1] + cc[:, None, :, 1])
         e2 = (u * ca[:, None, :, 2] + v * cb[:, None, :, 2] + cc[:, None, :, 2])
-        inside = ((e0 * sgn >= 0) & (e1 * sgn >= 0) & (e2 * sgn >= 0)
-                  & (jnp.abs(cA)[:, None, :] > 1e-9))
-        z = (u * caz[:, None, :] + v * cbz[:, None, :] + ccz[:, None, :]) \
-            / jnp.where(cA == 0, 1.0, cA)[:, None, :]
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & cval[:, None, :]
+        z = u * caz[:, None, :] + v * cbz[:, None, :] + ccz[:, None, :]
         z = jnp.where(inside & (z > 0), z, _INF)
         cmin = jnp.min(z, axis=-1)              # (B, P)
         carg = jnp.argmin(z, axis=-1) + offset

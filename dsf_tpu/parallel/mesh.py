@@ -1,0 +1,47 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-process single-GPU (SURVEY §2.4: the only
+DataParallel path is dead code).  The TPU-native distributed layer is
+jax.sharding data parallelism over ICI: batch sharded on a 1-D 'data'
+mesh axis, parameters replicated, gradients reduced by XLA-inserted
+collectives.  Multi-host runs initialize jax.distributed and shard the
+input pipeline per host; nothing else changes.
+
+A second 'model' axis is reserved for tensor-parallel experiments (the
+nets are ~23M params, so DP is the production configuration).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices)
+    return Mesh(np.asarray(devices[:n_data]).reshape(n_data), ("data",))
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Put a host batch onto the mesh, sharded along the leading axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate (e.g. params) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P())

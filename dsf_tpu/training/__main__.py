@@ -1,0 +1,46 @@
+"""CLI driver: `python -m dsf_tpu.training [--key value ...]`.
+
+Replaces the reference's edit-the-file + `python train_render.py` flow
+(train_render.py:874-889) with the same phase logic: train (+ per-epoch
+test), then the NYU 3-view evaluation; or test-only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def parse_config(argv=None):
+    from dsf_tpu.config import Config
+    parser = argparse.ArgumentParser(description="dsf_tpu trainer")
+    for f in dataclasses.fields(Config):
+        if f.type in ("bool", bool):
+            parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in
+                                ("1", "true", "yes"), default=f.default)
+        elif isinstance(f.default, tuple):
+            parser.add_argument(f"--{f.name}", type=str,
+                                default=",".join(map(str, f.default)))
+        else:
+            parser.add_argument(f"--{f.name}", type=type(f.default),
+                                default=f.default)
+    args = vars(parser.parse_args(argv))
+    for f in dataclasses.fields(Config):
+        if isinstance(f.default, tuple) and isinstance(args[f.name], str):
+            elems = args[f.name].split(",")
+            cast = str if isinstance(f.default[0], str) else float
+            args[f.name] = tuple(cast(e) for e in elems)
+    return Config(**args)
+
+
+def main(argv=None):
+    cfg = parse_config(argv)
+    from dsf_tpu.training.loop import run
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()

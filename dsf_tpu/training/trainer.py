@@ -1,0 +1,270 @@
+"""Trainer: jit-compiled train/eval steps, optimizer, checkpointing.
+
+Functional rebuild of the reference Trainer (train_render.py:38-864):
+one pjit-able train step per phase (Pretrain / Finetune / FinetuneStage)
+containing the full compute graph; AdamW + StepLR via optax; orbax
+checkpoints; mm-error evaluation with the reference's exact joint
+transfer/slicing semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from dsf_tpu import geometry as geo
+from dsf_tpu.config import Config
+from dsf_tpu.mano import model as mano_model, transfer_for_dataset
+from dsf_tpu.models.backbone import ManoOCR, ManoOCRStage
+from dsf_tpu.models.cyclegan import ResnetGenerator
+from dsf_tpu.ops.offset_codec import offset2joint_softmax
+from dsf_tpu.parallel import mesh as pmesh
+from dsf_tpu.render import renderer as rnd
+from dsf_tpu.training import phases
+
+# camera intrinsics / frame size per dataset (ref: render_loader.py
+# loader __init__s; all loaders use flip=1)
+CAMERA = {
+    "nyu": ((588.03, 587.07, 320.0, 240.0), (640, 480)),
+    "icvl": ((240.99, 240.96, 160.0, 120.0), (320, 240)),
+    "msra": ((241.42, 241.42, 160.0, 120.0), (320, 240)),
+    "shrec": ((463.889, 463.889, 320.0, 240.0), (640, 480)),
+    "hands": ((475.065948, 475.065857, 315.944855, 245.287079), (640, 480)),
+}
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int):
+    """AdamW(wd=0.01) + StepLR(step_size epochs, gamma=0.1)
+    (ref: train_render.py:102-109, 148-149)."""
+    def schedule(step):
+        epoch = step // max(steps_per_epoch, 1)
+        return cfg.lr * (0.1 ** (epoch // cfg.step_size))
+
+    if cfg.opt == "adamw":
+        return optax.adamw(schedule, weight_decay=0.01)
+    if cfg.opt == "adam":
+        return optax.adam(schedule)
+    if cfg.opt == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(1e-4),
+            optax.sgd(schedule, momentum=0.9))
+    raise ValueError(cfg.opt)
+
+
+@dataclasses.dataclass
+class Trainer:
+    cfg: Config
+    mano_npz: str
+    steps_per_epoch: int = 1000
+    mesh: Optional[Any] = None
+
+    def __post_init__(self):
+        cfg = self.cfg
+        paras, img_size = CAMERA[cfg.dataset]
+        self._mano = mano_model.load_model(self.mano_npz)
+        self.renderer = rnd.Renderer.create(
+            self._mano, cfg.dataset, paras, img_size,
+            (cfg.input_size, cfg.input_size))
+        self.transfer_map = transfer_for_dataset(cfg.dataset)
+
+        refine = cfg.stage_num == 2
+        if "ResNet" in cfg.net:
+            depth = int(cfg.net.split("_")[-1])
+            self.net = ManoOCRStage(joint_num=21, depth=depth, refine=refine)
+        else:
+            raise NotImplementedError(cfg.net)
+
+        self.transfer_net = ResnetGenerator() if cfg.transferNet_pth else None
+        self.transfer_vars = None
+        if self.transfer_net is not None and os.path.exists(cfg.transferNet_pth):
+            from dsf_tpu.models.torch_import import load_cyclegan_generator
+            self.transfer_vars = load_cyclegan_generator(cfg.transferNet_pth)
+
+        self.tx = make_optimizer(cfg, self.steps_per_epoch)
+        if self.mesh is None:
+            self.mesh = pmesh.make_mesh()
+        self._jit_cache: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------- init
+
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        img = jnp.zeros((2, 1, cfg.input_size, cfg.input_size))
+        center = jnp.asarray([[0.0, 0.0, 750.0]] * 2)
+        cube = jnp.full((2, 3), float(cfg.cube_size[0]))
+        variables = self.net.init(key, img, self.renderer, center, cube,
+                                  train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=batch_stats,
+                           opt_state=self.tx.init(params))
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, pmesh.replicated_sharding(self.mesh)),
+            state)
+
+    # ------------------------------------------------------------ steps
+
+    def _transfer_fn(self):
+        if self.transfer_net is None or self.transfer_vars is None:
+            return None
+        net, var = self.transfer_net, self.transfer_vars
+        return lambda img: jax.lax.stop_gradient(net.apply(var, img))
+
+    def _loss_fn(self, phase_name):
+        r = self.renderer
+        cfg = self.cfg
+        transfer_fn = self._transfer_fn()
+        tm = self.transfer_map
+
+        def apply_fn(variables, img, rend, center, cube, train, mutable=None):
+            if mutable:
+                return self.net.apply(variables, img, rend, center, cube,
+                                      train=train, mutable=mutable)
+            return self.net.apply(variables, img, rend, center, cube,
+                                  train=train)
+
+        if phase_name == "Pretrain":
+            def fn(params, batch_stats, key, batch):
+                variables = {"params": params, "batch_stats": batch_stats}
+                return phases.pretrain_loss(
+                    apply_fn, variables, key, batch["model_para"],
+                    batch["cube_synth"], r=r, transfer_fn=transfer_fn,
+                    cfg=cfg, stage_num=cfg.stage_num)
+            return fn
+        if phase_name == "Finetune":
+            def fn(params, batch_stats, key, batch):
+                variables = {"params": params, "batch_stats": batch_stats}
+                return phases.finetune_loss(
+                    apply_fn, variables, key, batch["model_para"],
+                    batch["cube_synth"], batch["img"], batch["center"],
+                    batch["cube"], batch["M"], batch["xyz_gt"],
+                    r=r, transfer_fn=transfer_fn, cfg=cfg, transfer_map=tm)
+            return fn
+        if phase_name == "FinetuneStage":
+            def fn(params, batch_stats, key, batch):
+                variables = {"params": params, "batch_stats": batch_stats}
+                return phases.finetune_stage_loss(
+                    apply_fn, variables, key, batch["model_para"],
+                    batch["cube_synth"], batch["img"], batch["center"],
+                    batch["cube"], batch["M"], batch["xyz_gt"],
+                    r=r, transfer_fn=transfer_fn, cfg=cfg, transfer_map=tm)
+            return fn
+        raise ValueError(phase_name)
+
+    def train_step_fn(self, phase_name):
+        """Build (and cache) the jitted train step for a phase."""
+        if phase_name in self._jit_cache:
+            return self._jit_cache[phase_name]
+        loss_fn = self._loss_fn(phase_name)
+        tx = self.tx
+
+        def step(state: TrainState, key, batch):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (loss, (new_model_state, metrics)), grads = grad_fn(
+                state.params, state.batch_stats, key, batch)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_bs = new_model_state.get("batch_stats", state.batch_stats)
+            metrics = dict(metrics, loss=loss)
+            return state.replace(step=state.step + 1, params=new_params,
+                                 batch_stats=new_bs, opt_state=new_opt), metrics
+
+        jitted = jax.jit(step, donate_argnums=(0,))
+        self._jit_cache[phase_name] = jitted
+        return jitted
+
+    # ------------------------------------------------------------- eval
+
+    def eval_step_fn(self):
+        """Per-batch test errors (ref: Trainer.test_iter,
+        train_render.py:355-400): per stage, pixel-branch and MANO-branch
+        mm error on the transfer-mapped joints [:n-1]."""
+        if "eval" in self._jit_cache:
+            return self._jit_cache["eval"]
+        cfg = self.cfg
+        r = self.renderer
+        tm = jnp.asarray(self.transfer_map)
+        n_eval = len(self.transfer_map) - 1
+
+        def step(params, batch_stats, batch):
+            variables = {"params": params, "batch_stats": batch_stats}
+            outputs = self.net.apply(variables, batch["img"], r,
+                                     batch["center"], batch["cube"],
+                                     train=False)
+            errors = []
+            results = {}
+            for idx, (pixel_pd, para_pd) in enumerate(outputs):
+                juvd = offset2joint_softmax(pixel_pd, batch["img"],
+                                            cfg.feature_para[0])
+                jxyz = geo.uvd_nl_to_xyz_nl(juvd, batch["center"], batch["M"],
+                                            batch["cube"], r.paras,
+                                            cfg.input_size, r.flip)
+                mano_jxyz, mano_mesh = rnd.get_mesh_xyz(r, para_pd)
+                e0 = phases.xyz2error_mm(jxyz[:, tm][:, :n_eval],
+                                         batch["xyz_gt"][:, :n_eval],
+                                         batch["center"], batch["cube"])
+                e1 = phases.xyz2error_mm(mano_jxyz[:, tm][:, :n_eval],
+                                         batch["xyz_gt"][:, :n_eval],
+                                         batch["center"], batch["cube"])
+                errors += [e0, e1]
+                results[f"joint_xyz_{idx}"] = jxyz
+                results[f"mano_joint_xyz_{idx}"] = mano_jxyz
+                results[f"mano_mesh_{idx}"] = mano_mesh
+                results[f"mano_para_{idx}"] = para_pd
+            return jnp.stack(errors), results
+
+        jitted = jax.jit(step)
+        self._jit_cache["eval"] = jitted
+        return jitted
+
+    def evaluate(self, state: TrainState, batches: Iterator[dict]):
+        step = self.eval_step_fn()
+        totals, n = None, 0
+        for batch in batches:
+            batch = pmesh.shard_batch(self.mesh, batch)
+            errors, _ = step(state.params, state.batch_stats, batch)
+            errors = np.asarray(errors)
+            totals = errors if totals is None else totals + errors
+            n += 1
+        return totals / max(n, 1)
+
+    # -------------------------------------------------------------- fit
+
+    def fit_epoch(self, state: TrainState, key, synth_iter, real_iter=None,
+                  num_steps: Optional[int] = None):
+        cfg = self.cfg
+        phase = cfg.train_stage if cfg.train_stage == "Pretrain" else (
+            "Finetune" if cfg.stage_num == 1 else "FinetuneStage")
+        step = self.train_step_fn(phase)
+        metrics_acc = []
+        for i in range(num_steps or self.steps_per_epoch):
+            model_para, cube_synth = next(synth_iter)
+            batch = {"model_para": model_para, "cube_synth": cube_synth}
+            if phase != "Pretrain":
+                img, xyz_gt, uvd_gt, center, M, cube = next(real_iter)
+                batch.update(img=img, xyz_gt=xyz_gt, center=center, M=M,
+                             cube=cube)
+            batch = pmesh.shard_batch(self.mesh, batch)
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, sub, batch)
+            metrics_acc.append(metrics)
+        last = {k: float(v) for k, v in metrics_acc[-1].items()}
+        return state, key, last

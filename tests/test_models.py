@@ -1,0 +1,117 @@
+"""Model tests: torch layer parity, full two-stage forward, generator."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsf_tpu.models import layers as L
+from dsf_tpu.models.backbone import ManoOCR, ManoOCRStage
+from dsf_tpu.models.cyclegan import ResnetGenerator
+from dsf_tpu.models.hourglass import PoseNet
+
+
+def test_conv_transpose_matches_torch_k4s2p1():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 8, 16, 16).astype(np.float32)
+    w = rng.randn(8, 4, 4, 4).astype(np.float32) * 0.1   # (in, out, kh, kw)
+
+    tconv = torch.nn.ConvTranspose2d(8, 4, 4, stride=2, padding=1, bias=False)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(w))
+    expected = tconv(torch.from_numpy(x)).detach().numpy()
+
+    mod = L.ConvTranspose(features=4, kernel=4, stride=2, padding=1)
+    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # flax kernel (kh, kw, in, out) with transpose_kernel=True
+    params = {"params": {"deconv": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}}}
+    got = np.asarray(mod.apply(params, jnp.asarray(x)))
+    assert got.shape == expected.shape == (2, 4, 32, 32)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_transpose_matches_torch_k3s2p1op1():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, 6, 10, 10).astype(np.float32)
+    w = rng.randn(6, 3, 3, 3).astype(np.float32) * 0.1
+
+    tconv = torch.nn.ConvTranspose2d(6, 3, 3, stride=2, padding=1,
+                                     output_padding=1, bias=False)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(w))
+    expected = tconv(torch.from_numpy(x)).detach().numpy()
+
+    mod = L.ConvTranspose(features=3, kernel=3, stride=2, padding=1,
+                          output_padding=1)
+    params = {"params": {"deconv": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}}}
+    got = np.asarray(mod.apply(params, jnp.asarray(x)))
+    assert got.shape == expected.shape == (1, 3, 20, 20)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_maxpool_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(2)
+    x = rng.randn(1, 3, 9, 9).astype(np.float32)
+    expected = torch.nn.MaxPool2d(3, 2, 1)(torch.from_numpy(x)).numpy()
+    got = np.asarray(L.max_pool_3x3_s2(jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def _make_renderer():
+    from dsf_tpu.mano import model as mano_model, synthetic
+    from dsf_tpu.render import Renderer
+    import tempfile, os
+    path = os.path.join(tempfile.gettempdir(), "syn_mano_models_test.npz")
+    if not os.path.exists(path):
+        synthetic.save_synthetic_mano(path)
+    m = mano_model.load_model(path)
+    return Renderer.create(m, "nyu", (588.03, 587.07, 320.0, 240.0), (640, 480))
+
+
+def test_mano_ocr_single_stage_shapes():
+    net = ManoOCR(joint_num=21)
+    x = jnp.zeros((2, 1, 128, 128))
+    vars_ = net.init(jax.random.PRNGKey(0), x, train=False)
+    out = net.apply(vars_, x, train=False)
+    assert len(out) == 1
+    img_result, mano_para = out[0]
+    assert img_result.shape == (2, 84, 64, 64)
+    assert mano_para.shape == (2, 62)
+
+
+def test_mano_ocr_stage_two_stage_shapes():
+    r = _make_renderer()
+    net = ManoOCRStage(joint_num=21, refine=True)
+    x = jnp.zeros((2, 1, 128, 128))
+    center = jnp.asarray([[0.0, 0.0, 750.0]] * 2)
+    cube = jnp.full((2, 3), 250.0)
+    vars_ = net.init(jax.random.PRNGKey(0), x, r, center, cube, train=False)
+    out = net.apply(vars_, x, r, center, cube, train=False)
+    assert len(out) == 2
+    for img_result, mano_para in out:
+        assert img_result.shape == (2, 84, 64, 64)
+        assert mano_para.shape == (2, 62)
+    # batch stats exist (BN state) for both stages
+    assert "batch_stats" in vars_
+
+
+def test_cyclegan_generator():
+    net = ResnetGenerator()
+    x = jnp.zeros((1, 1, 128, 128))
+    vars_ = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(vars_, x)
+    assert y.shape == (1, 1, 128, 128)
+    assert float(jnp.abs(y).max()) <= 1.0
+
+
+def test_hourglass_posenet():
+    net = PoseNet(nstack=2, joint_num=14)
+    x = jnp.zeros((1, 1, 128, 128))
+    vars_ = net.init(jax.random.PRNGKey(0), x, train=False)
+    preds, hg = net.apply(vars_, x, train=False)
+    assert len(preds) == 2
+    assert preds[0].shape == (1, 14 * 5, 32, 32)
+    assert hg.shape == (1, 256, 32, 32)

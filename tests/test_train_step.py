@@ -1,0 +1,90 @@
+"""End-to-end train-step smoke tests on the virtual 8-device CPU mesh.
+
+Exercises the full vertical: synth factory -> transfer(None) -> dual
+branch net -> rendering inside forward -> all losses -> grads -> optax,
+with the batch sharded across 8 virtual devices (SURVEY §4 item c).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsf_tpu.config import Config
+from dsf_tpu.data.synth_params import random_param_source
+from dsf_tpu.training.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    from dsf_tpu.mano import synthetic
+    path = tmp_path_factory.mktemp("mano") / "syn.npz"
+    synthetic.save_synthetic_mano(str(path))
+    # input_size 64 (not the production 128) purely to cut CPU compile
+    # time; the model is size-agnostic and 128 is covered on-TPU by bench
+    cfg = Config(dataset="nyu", batch_size=8, stage_num=2,
+                 train_stage="Pretrain", input_size=64)
+    return Trainer(cfg, str(path), steps_per_epoch=10)
+
+
+def _real_batch(B, J=14, S=64):
+    rng = np.random.RandomState(0)
+    from dsf_tpu import geometry as geo
+    center = jnp.asarray(
+        rng.uniform([-50, -50, 700], [50, 50, 900], (B, 3)).astype(np.float32))
+    cube = jnp.full((B, 3), 250.0)
+    com = geo.xyz_to_uvd(center, (588.03, 587.07, 320.0, 240.0))
+    M = geo.crop_matrix(com, cube, (588.03, 587.07, 320.0, 240.0), (S, S))
+    img = jnp.asarray(
+        rng.uniform(-1, 1, (B, 1, S, S)).astype(np.float32))
+    xyz_gt = jnp.asarray(rng.uniform(-1, 1, (B, J, 3)).astype(np.float32))
+    return img, xyz_gt, center, M, cube
+
+
+def test_pretrain_step_runs_and_descends(trainer):
+    state = trainer.init_state()
+    src = random_param_source(8)
+    step = trainer.train_step_fn("Pretrain")
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(3):
+        para, cube = next(src)
+        batch = {"model_para": jnp.asarray(para), "cube_synth": jnp.asarray(cube)}
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sub, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 3
+
+
+def test_finetune_stage_step_runs(trainer):
+    state = trainer.init_state()
+    step = trainer.train_step_fn("FinetuneStage")
+    para, cube_s = next(random_param_source(8))
+    img, xyz_gt, center, M, cube = _real_batch(8)
+    batch = {"model_para": jnp.asarray(para), "cube_synth": jnp.asarray(cube_s),
+             "img": img, "xyz_gt": xyz_gt, "center": center, "M": M,
+             "cube": cube}
+    state, metrics = step(state, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(metrics["loss"]))
+    for k in ("m2d_0", "d2m_1", "pd2m_0", "coll_1", "M2P"):
+        assert k in metrics, k
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_eval_step(trainer):
+    state = trainer.init_state()
+    img, xyz_gt, center, M, cube = _real_batch(8)
+    batch = {"img": img, "xyz_gt": xyz_gt, "center": center, "M": M,
+             "cube": cube}
+    errors = trainer.evaluate(state, iter([batch]))
+    assert errors.shape == (4,)          # 2 stages x 2 branches
+    assert np.isfinite(errors).all()
+
+
+def test_batch_is_sharded_across_devices(trainer):
+    from dsf_tpu.parallel import mesh as pmesh
+    assert len(jax.devices()) == 8
+    batch = {"x": jnp.zeros((8, 4))}
+    sharded = pmesh.shard_batch(trainer.mesh, batch)
+    assert len(sharded["x"].sharding.device_set) == 8
