@@ -434,3 +434,82 @@ class SHRECDataset(BaseDataset):
             "M": trans.astype(np.float32),
             "cube": np.asarray(cube_size, np.float32),
         }
+
+
+class NYUCCSSLDataset(NYUDataset):
+    """NYU with CCSSL pseudo labels + per-joint confidence weights
+    (ref: nyu_CCSSL_loader, render_loader.py:1700-1800): joints come from
+    an exported `joint_uvd.txt` and each sample carries a `weight.txt`
+    row used by the weighted losses."""
+
+    def __init__(self, root_dir, phase, pseudo_dir, **kw):
+        super().__init__(root_dir, phase, **kw)
+        uvd = np.loadtxt(os.path.join(pseudo_dir, "joint_uvd.txt"))
+        self.pseudo_uvd = uvd.reshape(len(uvd), -1, 3).astype(np.float32)
+        wpath = os.path.join(pseudo_dir, "weight.txt")
+        if os.path.exists(wpath):
+            self.weights = np.loadtxt(wpath).astype(np.float32)
+        else:
+            self.weights = np.ones(self.pseudo_uvd.shape[:2], np.float32)
+        # pseudo labels replace GT joints
+        self.all_joints_uvd = self.pseudo_uvd
+        self.all_joints_xyz = C.joint_img_to_3d(
+            self.pseudo_uvd, self.paras, self.flip)
+
+    def __getitem__(self, index):
+        out = super().__getitem__(index)
+        out["weight"] = self.weights[index]
+        return out
+
+
+class DHGDataset(SHRECDataset):
+    """DHG 14/28 gesture sequences (ref: DHG_loader,
+    render_loader.py:2964-3075) — same frame/prediction layout as SHREC
+    with the DHG directory structure (gesture/finger/subject/essai)."""
+
+    def __init__(self, root_dir, **kw):
+        super().__init__(root_dir, **kw)
+
+
+class ModelParaOnlyDataset:
+    """Per-frame MANO parameters for an existing dataset (ref:
+    nyu_modelPara_loader / msra_modelPara_loader,
+    render_loader.py:2054-2117, 2622-2703): 62-D rows read from the
+    posePara_lm_collosion bank for a dataset/phase/view."""
+
+    def __init__(self, root_dir, dataset_name, phase, view=0,
+                 cube_size=(250, 250, 250)):
+        d = os.path.join(root_dir, "posePara_lm_collosion")
+        load = lambda sfx, c: np.loadtxt(
+            os.path.join(d, f"{dataset_name}-{phase}-{view}-{sfx}.txt")
+        ).reshape(-1, c)
+        self.params = np.concatenate(
+            [load("glb", 3), load("pose", 45), load("shape", 10),
+             load("scale", 1), load("trans", 3)], axis=-1).astype(np.float32)
+        self.cube_size = np.asarray(cube_size, np.float32)
+
+    def __len__(self):
+        return len(self.params)
+
+    def __getitem__(self, i):
+        return self.params[i], self.cube_size
+
+
+class ConcatDataset(BaseDataset):
+    """Concatenation of datasets sharing one sample schema (ref:
+    nyu_loader_train_test concat of 72757 train + 8252 test frames,
+    render_loader.py:1584-1698)."""
+
+    def __init__(self, datasets):
+        self.datasets = list(datasets)
+        self.paras = self.datasets[0].paras
+        self.ori_img_size = self.datasets[0].ori_img_size
+        self.flip = self.datasets[0].flip
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, i):
+        k = int(np.searchsorted(self._offsets, i, side="right") - 1)
+        return self.datasets[k][i - int(self._offsets[k])]

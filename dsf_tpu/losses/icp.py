@@ -26,12 +26,13 @@ def icp_loss(mesh, pcl, faces):
 
 def _masked_part_loss(mesh, pcl, faces, part_face_mask, pcl_seg, n_parts):
     """Shared part-aware reduction: per part, mean distance of that
-    part's points to that part's faces; empty parts give 0."""
-    # admissible faces per point: faces belonging to the point's part
-    allowed = part_face_mask.T[pcl_seg - 1]            # (B, P, T)
-    in_any_part = (pcl_seg >= 1) & (pcl_seg <= n_parts)
-    allowed = allowed & in_any_part[..., None]
-    d = point_face_distance(pcl, mesh, faces, face_allowed=allowed)  # (B,P)
+    part's points to that part's faces; empty parts give 0.  The mask is
+    passed factorized ((T, K) table + per-point part id) — never a
+    (P x T) tensor."""
+    point_part = jnp.where(
+        (pcl_seg >= 1) & (pcl_seg <= n_parts), pcl_seg - 1, -1)
+    d = point_face_distance(pcl, mesh, faces, part_mask=part_face_mask,
+                            point_part=point_part)      # (B, P)
 
     losses = []
     for part in range(1, n_parts + 1):

@@ -70,7 +70,11 @@ def build_synthetic_mano(seed: int = 0) -> dict:
     hands_components = (rng.randn(45, 45) * 0.1).astype(np.float32)
     hands_mean = (rng.randn(45) * 0.05).astype(np.float32)
 
-    faces = rng.randint(0, N_VERTS, size=(N_FACES, 3)).astype(np.int32)
+    # distinct vertex indices per face: degenerate (zero-area) faces are
+    # not present in the real MANO mesh and the Pallas distance kernel
+    # documents non-degeneracy as a precondition
+    faces = np.stack([rng.choice(N_VERTS, 3, replace=False)
+                      for _ in range(N_FACES)]).astype(np.int32)
     kintree_table = np.stack(
         [PARENTS.astype(np.int64) % (1 << 32), np.arange(N_JOINTS)], axis=0
     ).astype(np.int64)

@@ -1,0 +1,233 @@
+"""Pallas TPU kernel: nearest-face argmin for point->mesh distances.
+
+Exact point-triangle distance via a restructured closest-point region
+analysis that needs only THREE per-pair dot products (s1 = ab.p,
+s2 = ac.p, pa = a.p); all other Ericson terms are per-face constants
+(d3 = d1 - ab.ab etc.), precomputed once in XLA and kept VMEM-resident:
+
+    16 floats/face: a(3) ab(3) ac(3) ab.a ac.a ab.b ac.b ab.c ac.c a.a
+(single-subtraction Ericson terms d_k = s_i - const: avoids the
+catastrophic cancellation a chained d3 = d1 - ab.ab form would have)
+
+The kernel streams face chunks against point tiles on the VPU and keeps
+the running (min, argmin) in registers/VMEM — the XLA scan path spills
+the carry to HBM each chunk.  The part-admissibility mask is factorized:
+a per-point one-hot (K+1) times a (K+1, T) face-part table — an (8,128)
+matmul per block instead of a (P, T) mask in memory.
+
+Returns the argmin only (stop-gradient); the differentiable distance is
+re-evaluated on the winning face outside (see point_mesh.py).
+
+Precondition: faces must be non-degenerate (distinct vertices, nonzero
+area), as in any real MANO mesh.  For exactly-degenerate faces the FMA
+residue of the region determinants (d1*d4 - d3*d2 with d1==d2, d3==d4)
+can flip a region test and misclassify the closest point; well-formed
+faces only see this at region boundaries where the distance field is
+continuous, so the argmin error is O(eps).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = 1e10
+TILE = 512           # points per inner tile
+FACE_CHUNK = 128     # faces per inner step
+_EPS = 1e-12
+
+
+def _kernel(masked, p_ref, fc_ref, oh_ref, pm_ref, dmin_ref, imin_ref):
+    """p (1, P, 4) = [x y z p.p]; fc (1, 16, Tp); oh (1, P, 16) one-hot;
+    pm (16, Tp) face-part table; out dmin/imin (1, 1, P)."""
+    P = p_ref.shape[1]
+    Tp = fc_ref.shape[2]
+    n_pt = P // TILE
+    n_fc = Tp // FACE_CHUNK
+
+    def pix_tile(ti, _):
+        sl = pl.ds(ti * TILE, TILE)
+        px = p_ref[0, sl, 0:1]                  # (TILE, 1)
+        py = p_ref[0, sl, 1:2]
+        pz = p_ref[0, sl, 2:3]
+        pp = p_ref[0, sl, 3:4]
+        if masked:
+            oh = oh_ref[0, sl, :]               # (TILE, 16)
+
+        def face_chunk(ci, carry):
+            dmin, imin = carry
+            s = ci * FACE_CHUNK
+            fc = fc_ref[0, :, pl.ds(s, FACE_CHUNK)]     # (16, FC)
+            ax, ay, az = fc[0:1], fc[1:2], fc[2:3]
+            abx, aby, abz = fc[3:4], fc[4:5], fc[5:6]
+            acx, acy, acz = fc[6:7], fc[7:8], fc[8:9]
+            ab_a, ac_a = fc[9:10], fc[10:11]
+            ab_b, ac_b = fc[11:12], fc[12:13]
+            ab_c, ac_c = fc[13:14], fc[14:15]
+            aa = fc[15:16]
+            abab = ab_b - ab_a
+            acac = ac_c - ac_a
+            abac = ac_b - ac_a
+
+            s1 = px * abx + py * aby + pz * abz          # ab . p
+            s2 = px * acx + py * acy + pz * acz          # ac . p
+            pa = px * ax + py * ay + pz * az             # a . p
+
+            d1 = s1 - ab_a
+            d2 = s2 - ac_a
+            d3 = s1 - ab_b
+            d4 = s2 - ac_b
+            d5 = s1 - ab_c
+            d6 = s2 - ac_c
+
+            vc = d1 * d4 - d3 * d2
+            vb = d5 * d2 - d1 * d6
+            va = d3 * d6 - d5 * d4
+            den = va + vb + vc
+
+            def safe_div(n, d):
+                return n / jnp.where(jnp.abs(d) < _EPS, _EPS, d)
+
+            v = safe_div(vb, den)
+            w = safe_div(vc, den)
+            # edge bc
+            t_bc = jnp.clip(safe_div(d4 - d3, (d4 - d3) + (d5 - d6)), 0., 1.)
+            on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+            v = jnp.where(on_bc, 1.0 - t_bc, v)
+            w = jnp.where(on_bc, t_bc, w)
+            # edge ac
+            on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+            v = jnp.where(on_ac, 0.0, v)
+            w = jnp.where(on_ac, jnp.clip(safe_div(d2, d2 - d6), 0., 1.), w)
+            # edge ab
+            on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+            v = jnp.where(on_ab, jnp.clip(safe_div(d1, d1 - d3), 0., 1.), v)
+            w = jnp.where(on_ab, 0.0, w)
+            # vertices
+            in_c = (d6 >= 0) & (d5 <= d6)
+            v = jnp.where(in_c, 0.0, v)
+            w = jnp.where(in_c, 1.0, w)
+            in_b = (d3 >= 0) & (d4 <= d3)
+            v = jnp.where(in_b, 1.0, v)
+            w = jnp.where(in_b, 0.0, w)
+            in_a = (d1 <= 0) & (d2 <= 0)
+            v = jnp.where(in_a, 0.0, v)
+            w = jnp.where(in_a, 0.0, w)
+
+            qq = (aa + v * (2.0 * ab_a + v * abab)
+                  + w * (2.0 * ac_a + w * acac) + 2.0 * v * w * abac)
+            d = pp - 2.0 * (pa + v * s1 + w * s2) + qq    # (TILE, FC)
+            d = jnp.maximum(d, 0.0)
+            if masked:
+                allowed = jax.lax.dot_general(
+                    oh, pm_ref[:, pl.ds(s, FACE_CHUNK)],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)    # (TILE, FC)
+                d = jnp.where(allowed > 0.5, d, _INF)
+
+            cmin = jnp.min(d, axis=1, keepdims=True)
+            carg = jnp.argmin(d, axis=1).reshape(-1, 1).astype(jnp.int32) + s
+            better = cmin < dmin
+            return (jnp.where(better, cmin, dmin),
+                    jnp.where(better, carg, imin))
+
+        d0 = jnp.full((TILE, 1), _INF, jnp.float32)
+        i0 = jnp.zeros((TILE, 1), jnp.int32)
+        dmin, imin = jax.lax.fori_loop(0, n_fc, face_chunk, (d0, i0))
+        dmin_ref[0, 0, sl] = dmin[:, 0]
+        imin_ref[0, 0, sl] = imin[:, 0]
+        return 0
+
+    jax.lax.fori_loop(0, n_pt, pix_tile, 0)
+
+
+def _face_constants(tris):
+    """(B, T, 3, 3) -> (B, 16, T) constants for the kernel."""
+    a = tris[..., 0, :]
+    b = tris[..., 1, :]
+    c = tris[..., 2, :]
+    ab = b - a
+    ac = c - a
+    rows = [a[..., 0], a[..., 1], a[..., 2],
+            ab[..., 0], ab[..., 1], ab[..., 2],
+            ac[..., 0], ac[..., 1], ac[..., 2],
+            jnp.sum(ab * a, -1), jnp.sum(ac * a, -1),
+            jnp.sum(ab * b, -1), jnp.sum(ac * b, -1),
+            jnp.sum(ab * c, -1), jnp.sum(ac * c, -1),
+            jnp.sum(a * a, -1)]
+    return jnp.stack(rows, axis=1)                      # (B, 16, T)
+
+
+def argmin_faces_pallas(points, tris, part_mask=None, point_part=None):
+    """points (B, P, 3); tris (B, T, 3, 3); optional factorized mask.
+    Returns (dmin (B, P), imin (B, P)) with gradients stopped."""
+    points = jax.lax.stop_gradient(points)
+    tris = jax.lax.stop_gradient(tris)
+    B, P, _ = points.shape
+    T = tris.shape[1]
+
+    fc = _face_constants(tris)
+    pad_f = (-T) % FACE_CHUNK
+    if pad_f:
+        fc = jnp.pad(fc, ((0, 0), (0, 0), (0, pad_f)))
+        # padded faces: make them infinitely far via aa = INF
+        Tp = T + pad_f
+        far = jnp.arange(Tp) >= T
+        fc = fc.at[:, 15, :].set(jnp.where(far, _INF, fc[:, 15, :]))
+    Tp = fc.shape[2]
+
+    pp = jnp.sum(points * points, -1, keepdims=True)
+    p4 = jnp.concatenate([points, pp], axis=-1)         # (B, P, 4)
+    pad_p = (-P) % TILE
+    if pad_p:
+        p4 = jnp.pad(p4, ((0, 0), (0, pad_p), (0, 0)))
+    Pp = p4.shape[1]
+
+    masked = part_mask is not None
+    if masked:
+        K = part_mask.shape[1]
+        assert K <= 15, "at most 15 parts supported"
+        ext = jnp.concatenate(
+            [part_mask.astype(jnp.float32),
+             jnp.zeros((T, 16 - K), jnp.float32)], axis=1)   # (T, 16)
+        pm = jnp.pad(ext, ((0, pad_f), (0, 0))).T            # (16, Tp)
+        ppart = jnp.where((point_part >= 0) & (point_part < K),
+                          point_part, K).astype(jnp.int32)
+        oh = jax.nn.one_hot(ppart, 16, dtype=jnp.float32)    # (B, P, 16)
+        if pad_p:
+            oh = jnp.pad(oh, ((0, 0), (0, pad_p), (0, 0)))
+    else:
+        pm = jnp.zeros((16, Tp), jnp.float32)
+        oh = jnp.zeros((B, 1, 16), jnp.float32)              # dummy
+
+    oh_P = oh.shape[1]
+    kernel = functools.partial(_kernel, masked)
+    dmin, imin = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, 1, Pp), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, Pp), jnp.int32)),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Pp, 4), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, Tp), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, oh_P, 16), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, Tp), lambda bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, Pp), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Pp), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(p4.astype(jnp.float32), fc.astype(jnp.float32), oh, pm)
+    dmin, imin = dmin[:, 0], imin[:, 0]
+    imin = jnp.clip(imin, 0, T - 1)
+    return dmin[:, :P], imin[:, :P]

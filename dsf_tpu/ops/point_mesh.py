@@ -3,11 +3,12 @@
 Replaces the pytorch3d `_C.point_face_dist_forward/backward` CUDA kernels
 the reference wraps (metric/meshLoss.py:21-223).  Two-pass design:
 
-1. argmin pass (no gradient): chunked scan over faces computing, per
-   point, the nearest face — optionally under a per-(face, part) mask so
-   the part-aware losses (JointICPLoss) reuse the SAME pass with the
-   point's segment selecting admissible faces.  Never materializes the
-   full (P x T) tensor in autodiff.
+1. argmin pass (no gradient): finds, per point, the nearest face —
+   optionally under a FACTORIZED admissibility mask: a static
+   (T, K) face-to-part table plus a per-point part id, so the part-aware
+   losses (JointICPLoss) reuse the SAME pass without ever materializing
+   a (P x T) mask.  Runs as a Pallas kernel on TPU (see
+   pallas_point_mesh.py) or a chunked XLA scan elsewhere.
 2. differentiable pass: gather the 1 winning triangle per point and
    evaluate the exact point-triangle distance; gradients flow through
    the closest face only — exactly the semantics of pytorch3d's hard
@@ -55,19 +56,16 @@ def point_tri_sqdist(p, tri):
 
     denom_uv = va + vb + vc
 
-    # candidate closest points per region
     eps = 1e-12
     v_ab = d1 / jnp.where(jnp.abs(d1 - d3) < eps, eps, d1 - d3)
     v_ac = d2 / jnp.where(jnp.abs(d2 - d6) < eps, eps, d2 - d6)
     v_bc = (d4 - d3) / jnp.where(
         jnp.abs((d4 - d3) + (d5 - d6)) < eps, eps, (d4 - d3) + (d5 - d6))
 
-    # face region barycentric
     denom = jnp.where(jnp.abs(denom_uv) < eps, eps, denom_uv)
     v_f = vb / denom
     w_f = vc / denom
 
-    # region conditions (evaluated in order as in the scalar algorithm)
     in_a = (d1 <= 0) & (d2 <= 0)
     in_b = (d3 >= 0) & (d4 <= d3)
     in_c = (d6 >= 0) & (d5 <= d6)
@@ -75,8 +73,7 @@ def point_tri_sqdist(p, tri):
     on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
     on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
 
-    q_face = a + v_f[..., None] * ab + w_f[..., None] * ac
-    q = q_face
+    q = a + v_f[..., None] * ab + w_f[..., None] * ac
     q = jnp.where(on_bc[..., None], b + jnp.clip(v_bc, 0, 1)[..., None] * (c - b), q)
     q = jnp.where(on_ac[..., None], a + jnp.clip(v_ac, 0, 1)[..., None] * ac, q)
     q = jnp.where(on_ab[..., None], a + jnp.clip(v_ab, 0, 1)[..., None] * ab, q)
@@ -88,14 +85,22 @@ def point_tri_sqdist(p, tri):
     return jnp.sum(diff * diff, -1)
 
 
-def _argmin_faces(points, tris, face_allowed=None):
+def _extend_part_tables(part_mask, point_part):
+    """Append an all-False part row so out-of-range point parts select
+    nothing.  part_mask (T, K) bool; point_part (B, P) int (may contain
+    values outside [0, K) meaning 'no part')."""
+    T, K = part_mask.shape
+    ext = jnp.concatenate([part_mask, jnp.zeros((T, 1), bool)], axis=1)
+    pp = jnp.where((point_part >= 0) & (point_part < K), point_part, K)
+    return ext, pp.astype(jnp.int32)
+
+
+def _argmin_faces(points, tris, part_mask=None, point_part=None):
     """Per-point nearest-face index, chunked over faces, no gradients.
 
-    points (B, P, 3), tris (B, T, 3, 3);
-    face_allowed: optional (B, P, chunk-broadcastable) mask via callback —
-    here simplified: (T,)-indexed bool per point computed from
-    face_part_mask + point segment, passed as (B, P, T) would be too big,
-    so we accept `face_mask_fn(face_slice) -> (B, P, Fc)` or None.
+    points (B, P, 3), tris (B, T, 3, 3); optional factorized mask:
+    part_mask (T, K) bool + point_part (B, P) int — face t is admissible
+    for point p iff part_mask[t, point_part[p]].
     """
     B, P, _ = points.shape
     T = tris.shape[1]
@@ -110,13 +115,20 @@ def _argmin_faces(points, tris, face_allowed=None):
     points = jax.lax.stop_gradient(points)
     tris_c = jax.lax.stop_gradient(tris_c)
 
+    masked = part_mask is not None
+    if masked:
+        ext, pp = _extend_part_tables(part_mask, point_part)
+        ext = jnp.pad(ext, ((0, pad), (0, 0)))          # (Tp, K+1)
+        mask_c = jnp.moveaxis(ext.reshape(nc, _CHUNK, -1), 0, 0)
+
     def body(carry, xs):
         dmin, imin, off = carry
-        if face_allowed is None:
+        if masked:
+            tri_chunk, mchunk = xs                      # mchunk (CHUNK, K+1)
+            allowed = mchunk.T[pp]                      # (B, P, CHUNK)
+        else:
             tri_chunk = xs
             allowed = None
-        else:
-            tri_chunk, allowed = xs            # allowed: (B, P, Fc)
         d = point_tri_sqdist(points[:, :, None, :], tri_chunk[:, None, :, :, :])
         if allowed is not None:
             d = jnp.where(allowed, d, _INF)
@@ -129,66 +141,33 @@ def _argmin_faces(points, tris, face_allowed=None):
 
     init = (jnp.full((B, P), _INF, points.dtype),
             jnp.zeros((B, P), jnp.int32), jnp.int32(0))
-    if face_allowed is None:
-        (dmin, imin, _), _ = jax.lax.scan(body, init, tris_c)
-    else:
-        fa = jnp.moveaxis(
-            jnp.pad(face_allowed, ((0, 0), (0, 0), (0, pad)))
-            .reshape(B, P, nc, _CHUNK), 2, 0)
-        (dmin, imin, _), _ = jax.lax.scan(body, init, (tris_c, fa))
+    xs = (tris_c, mask_c) if masked else tris_c
+    (dmin, imin, _), _ = jax.lax.scan(body, init, xs)
     return dmin, imin
 
 
-def _argmin_faces_pruned(points, tris, k, face_allowed=None):
-    """Candidate-pruned nearest-face search.
+def point_face_distance(points, verts, faces, part_mask=None,
+                        point_part=None, use_pallas="auto"):
+    """Per-point SQUARED distance to the nearest (admissible) face.
 
-    Exact point-triangle distance costs ~100 VPU flops/pair; the
-    face-centroid distance is matmul-shaped (p.c on the MXU).  We rank
-    faces by the LOWER BOUND (centroid distance - face radius), take the
-    top-k candidates per point, and run the exact distance only on those.
-    The bound makes this exact whenever the true nearest face's lower
-    bound ranks within the top k — guaranteed in practice for hand
-    meshes whose face radii are tiny relative to spacing; validated
-    against the dense path in tests.
-    """
-    points = jax.lax.stop_gradient(points)
-    tris = jax.lax.stop_gradient(tris)
-    cent = tris.mean(axis=-2)                              # (B, T, 3)
-    rad2 = jnp.max(jnp.sum((tris - cent[..., None, :]) ** 2, -1), -1)
-    rad = jnp.sqrt(rad2)                                   # (B, T)
-
-    # ||p - c||^2 = ||p||^2 - 2 p.c + ||c||^2 ; p.c on the MXU
-    pc = jnp.einsum("bpk,btk->bpt", points, cent,
-                    preferred_element_type=jnp.float32)
-    d2 = (jnp.sum(points ** 2, -1)[..., None]
-          - 2.0 * pc + jnp.sum(cent ** 2, -1)[:, None, :])
-    lower = jnp.sqrt(jnp.maximum(d2, 0.0)) - rad[:, None, :]
-    if face_allowed is not None:
-        lower = jnp.where(face_allowed, lower, _INF)
-    _, idx = jax.lax.top_k(-lower, k)                      # (B, P, k)
-    cand = jnp.take_along_axis(tris[:, None], idx[..., None, None],
-                               axis=2)                     # (B, P, k, 3, 3)
-    d = point_tri_sqdist(points[:, :, None, :], cand)
-    which = jnp.argmin(d, -1)
-    return (jnp.min(d, -1),
-            jnp.take_along_axis(idx, which[..., None], -1)[..., 0])
-
-
-def point_face_distance(points, verts, faces, face_allowed=None,
-                        prune_k: int | None = 64):
-    """Per-point SQUARED distance to the nearest (allowed) face.
-
-    points (B, P, 3); verts (B, V, 3); faces (T, 3) int;
-    face_allowed: optional (B, P, T) bool of admissible faces per point.
-    prune_k: use the MXU centroid-pruned search with k candidates
-    (None = dense chunked scan).  Differentiable wrt points and verts
-    through the winning face only.
+    points (B, P, 3); verts (B, V, 3); faces (T, 3) int.
+    Optional factorized admissibility: part_mask (T, K) bool +
+    point_part (B, P) int.  Differentiable wrt points and verts through
+    the winning face only.  use_pallas: "auto" = Pallas kernel on
+    non-CPU backends, XLA scan otherwise.
     """
     tris = verts[:, faces]                     # (B, T, 3, 3)
-    if prune_k is not None and prune_k < faces.shape[0]:
-        _, imin = _argmin_faces_pruned(points, tris, prune_k, face_allowed)
-    else:
-        _, imin = _argmin_faces(points, tris, face_allowed)
+    imin = None
+    if use_pallas in ("auto", True) and jax.default_backend() != "cpu":
+        try:
+            from dsf_tpu.ops.pallas_point_mesh import argmin_faces_pallas
+            _, imin = argmin_faces_pallas(points, tris, part_mask, point_part)
+        except Exception:
+            if use_pallas is True:
+                raise
+            imin = None
+    if imin is None:
+        _, imin = _argmin_faces(points, tris, part_mask, point_part)
     win = jnp.take_along_axis(
         tris, imin[..., None, None].astype(jnp.int32), axis=1)  # (B,P,3,3)
     return point_tri_sqdist(points, win)

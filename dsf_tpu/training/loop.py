@@ -90,6 +90,15 @@ def run(cfg: Config):
     tr = Trainer(cfg, cfg.mano_model_path, steps_per_epoch=steps)
     state = tr.init_state()
 
+    # TB writer (ref: train_render.py:229 SummaryWriter('runs/...'))
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(
+            os.path.join("runs", f"{cfg.dataset}-{cfg.add_info}"))
+    except Exception:
+        logging.warning("tensorboardX unavailable; skipping TB logging")
+
     start_epoch = 0
     if cfg.load_model:
         state, start_epoch = ckpt.restore(cfg.load_model, tr, state)
@@ -114,6 +123,9 @@ def run(cfg: Config):
         logging.info("Epoch#%d: %s (%.1fs)", epoch,
                      " ".join(f"{k}={v:.3f}" for k, v in metrics.items()),
                      time.time() - t0)
+        if writer is not None:
+            for k, v in metrics.items():
+                writer.add_scalar(k, v, global_step=epoch)
         ckpt.save(os.path.join(run_dir, "latest"), tr, state, epoch)
         if cfg.test_during_train:
             errs = _test_view(tr, state, cfg, 0)

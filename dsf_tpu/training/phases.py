@@ -314,8 +314,8 @@ def finetune_stage_loss(apply_fn, variables, key, model_para, cube,
         loss += sph.collision_loss(
             r.mano, mano_jxyz_s,
             jax.lax.stop_gradient(mesh_s)) * cfg.coll_weight
-        metrics[f"synth_error_{idx}"] = xyz2error_mm(juvd_pd * 0 + mano_jxyz_s,
-                                                     jxyz_gt, center_s, cube_s)
+        metrics[f"synth_error_{idx}"] = xyz2error_mm(mano_jxyz_s, jxyz_gt,
+                                                     center_s, cube_s)
 
     # ---------------- real: stage-2 is the teacher (ref :670-703)
     vars1 = _merge_state(variables, state1)

@@ -1,0 +1,88 @@
+"""Logic parity of the Pallas kernels vs the XLA reference paths.
+
+Runs the kernels in interpreter mode (tests force the CPU backend);
+real-TPU parity/perf is exercised by bench.py and the verify recipe.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental import pallas as pl
+
+
+def _distinct_faces(rng, V, F):
+    """Non-degenerate random faces (the kernels' documented
+    precondition; real MANO meshes satisfy it)."""
+    return np.stack([rng.choice(V, 3, replace=False)
+                     for _ in range(F)]).astype(np.int32)
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    import dsf_tpu.ops.pallas_raster as PR
+    import dsf_tpu.ops.pallas_point_mesh as PPM
+    monkeypatch.setattr(PR.pl, "pallas_call", patched)
+    monkeypatch.setattr(PPM.pl, "pallas_call", patched)
+    yield
+
+
+def test_raster_kernel_matches_scan(interpret_pallas):
+    from dsf_tpu.ops import rasterize as R
+    from dsf_tpu.ops.pallas_raster import raster_pallas
+    rng = np.random.RandomState(0)
+    B, V, F = 2, 60, 130
+    PARAS = (100.0, 100.0, 32.0, 32.0)
+    verts = jnp.asarray((rng.randn(B, V, 3) * 10 + [0, 0, 100]).astype(np.float32))
+    faces = jnp.asarray(_distinct_faces(rng, V, F))
+    pix = jnp.broadcast_to(R.full_frame_pixel_rays((64, 64)), (B, 4096, 2))
+    proj = R.project_verts(verts, PARAS)
+    z1, i1 = R._raster_scan(proj, pix, faces)
+    z2, i2 = raster_pallas(proj, pix, faces)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-4)
+    assert float((i1 == i2).mean()) > 0.999
+
+
+def test_point_mesh_kernel_matches_scan(interpret_pallas):
+    from dsf_tpu.ops import point_mesh as pm
+    from dsf_tpu.ops.pallas_point_mesh import argmin_faces_pallas
+    rng = np.random.RandomState(1)
+    B, V, F, P = 2, 60, 130, 512
+    verts = jnp.asarray(rng.randn(B, V, 3).astype(np.float32))
+    faces = jnp.asarray(_distinct_faces(rng, V, F))
+    pts = jnp.asarray((rng.randn(B, P, 3) * 1.2).astype(np.float32))
+    tris = verts[:, faces]
+    d1, i1 = pm._argmin_faces(pts, tris)
+    d2, i2 = argmin_faces_pallas(pts, tris)
+    # distances must agree; argmin may differ on exact ties of the
+    # degenerate random mesh (equal-distance faces sharing vertices)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-3, atol=1e-4)
+    # winning faces must achieve the winning distance
+    win = jnp.take_along_axis(tris, i2[..., None, None].astype(jnp.int32), 1)
+    d_win = pm.point_tri_sqdist(pts, win)
+    np.testing.assert_allclose(np.asarray(d_win), np.asarray(d1),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_point_mesh_kernel_masked(interpret_pallas):
+    from dsf_tpu.ops import point_mesh as pm
+    from dsf_tpu.ops.pallas_point_mesh import argmin_faces_pallas
+    rng = np.random.RandomState(2)
+    B, V, F, P = 1, 40, 128, 512
+    verts = jnp.asarray(rng.randn(B, V, 3).astype(np.float32))
+    faces = jnp.asarray(_distinct_faces(rng, V, F))
+    pts = jnp.asarray((rng.randn(B, P, 3)).astype(np.float32))
+    tris = verts[:, faces]
+    mask = jnp.asarray(rng.rand(F, 15) > 0.6)
+    ppart = jnp.asarray(rng.randint(-1, 15, (B, P)).astype(np.int32))
+    d1, _ = pm._argmin_faces(pts, tris, mask, ppart)
+    d2, _ = argmin_faces_pallas(pts, tris, mask, ppart)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-3, atol=1e-4)
