@@ -182,3 +182,94 @@ def _seg_with_map(model, joints, joints_mano, mesh, pcl, id_map):
     pd = jnp.abs(pd - pr[:, None])
     p_min = jnp.min(pd, -1)
     return jnp.where(p_min < f_min, 0, f_id)
+
+
+# ---------------------------------------------------------------------------
+# point -> sphere / per-part mesh distance variants
+# (ref: mano_layer.py:429-567 — alternatives to the face-based ICP losses)
+# ---------------------------------------------------------------------------
+
+def point2mesh_part_distance(model, mesh, pcl, pcl_seg):
+    """(B, 15) mean min squared VERTEX distance of each part's points to
+    that part's skinned vertices (ref: calculate_point2mesh_distance,
+    mano_layer.py:429-441; vertex-subset form, masked fixed-shape)."""
+    mesh778 = mesh[:, : model.n_verts]
+    d = jnp.sum((pcl[:, :, None] - mesh778[:, None]) ** 2, -1)   # (B,P,V)
+    losses = []
+    for part in range(15):
+        vert_ok = model.vertex_seg == (part + 1)                 # (V,)
+        dm = jnp.where(vert_ok[None, None], d, 1e5)
+        dmin = dm.min(-1)                                        # (B,P)
+        sel = pcl_seg == part + 1
+        dmin = jnp.where(sel, dmin, 1e5)
+        losses.append(jnp.where(sel.any(-1),
+                                jnp.where(sel, dmin, 0.0).sum(-1)
+                                / jnp.maximum(sel.sum(-1), 1), 0.0))
+    return jnp.stack(losses, -1)
+
+
+def _point2sphere_part(model, joint, mesh, pcl, pcl_seg, groups, n_parts):
+    """Shared reduction: per part, mean |dist(point, sphere surface)|
+    over that part's points and sphere subset (ref:
+    calculate_point2shpere_distance*, mano_layer.py:444-567)."""
+    c = sphere_centers(joint)
+    r = sphere_radii(model, joint, mesh)
+    fc, fr = c[:, PALM_N:], r[:, PALM_N:]
+    d = jnp.sqrt(jnp.sum((pcl[:, :, None] - fc[:, None]) ** 2, -1) + 1e-8)
+    d = jnp.abs(d - fr[:, None])                                 # (B,P,45)
+    losses = []
+    for part in range(n_parts):
+        sphere_ok = jnp.asarray(groups[part])                    # (45,) bool
+        dm = jnp.where(sphere_ok[None, None], d, jnp.inf)
+        dmin = dm.min(-1)
+        sel = pcl_seg == part + 1
+        dsel = jnp.where(sel, dmin, 0.0)
+        valid = (dsel > 0).sum(-1)
+        loss = dsel.sum(-1) / (valid + 1e-8)
+        losses.append(jnp.where(valid == 0, 0.0, loss))
+    return jnp.stack(losses, -1)
+
+
+def _bone_groups():
+    g = np.zeros((15, FINGER_N), bool)
+    for i in range(15):
+        g[i, i * INTERVAL:(i + 1) * INTERVAL] = True
+    return g
+
+
+def _joint21_groups():
+    id_list = [[0, 1], [2, 3, 4], [5, 6, 7], [9, 10], [11, 12, 13],
+               [14, 15, 16], [18, 19], [20, 21, 22], [23, 24, 25],
+               [27, 28], [29, 30, 31], [32, 33, 34], [36, 37],
+               [38, 39, 40], [41, 42, 43], [8], [17], [26], [35], [44]]
+    g = np.zeros((20, FINGER_N), bool)
+    for i, ids in enumerate(id_list):
+        g[i, ids] = True
+    return g
+
+
+def _finger_groups():
+    g = np.zeros((5, FINGER_N), bool)
+    for i in range(5):
+        g[i, i * 3 * INTERVAL:(i + 1) * 3 * INTERVAL] = True
+    return g
+
+
+def point2sphere_distance(model, joint, mesh, pcl, pcl_seg):
+    """(B, 15) per-bone variant (ref: calculate_point2shpere_distance)."""
+    return _point2sphere_part(model, joint, mesh, pcl, pcl_seg,
+                              _bone_groups(), 15)
+
+
+def point2sphere_distance_21(model, joint, mesh, pcl, pcl_seg):
+    """(B, 20) per-joint variant (ref:
+    calculate_point2shpere_distance_21, id groups mano_layer.py:501-506)."""
+    return _point2sphere_part(model, joint, mesh, pcl, pcl_seg,
+                              _joint21_groups(), 20)
+
+
+def point2sphere_distance_finger(model, joint, mesh, pcl, pcl_seg):
+    """(B, 5) per-finger variant (ref:
+    calculate_point2shpere_distance_finger)."""
+    return _point2sphere_part(model, joint, mesh, pcl, pcl_seg,
+                              _finger_groups(), 5)

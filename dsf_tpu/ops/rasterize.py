@@ -212,22 +212,54 @@ def _raster_fwd(proj, pix_uv, faces):
 
 
 def _raster_bwd(res, g):
+    """Backward via per-face MOMENTS.
+
+    For a fixed face, the interpolated depth z(u, v) = (az u + bz v +
+    cz)/A is linear in the pixel position, so the cotangent reaching a
+    face is fully captured by three moments of its covering pixels:
+    S1 = sum g, Su = sum g u, Sv = sum g v.  Then
+
+        sum_p g_p z_p = sum_t (az_t Su_t + bz_t Sv_t + cz_t S1_t) / A_t
+
+    and the vertex gradient is plain autodiff of that tiny dense (B, T)
+    expression — the dynamic work shrinks to one (B, P, 3) scatter-add
+    keyed by hit-face id (vs gathering per-pixel triangles (B, P, 3, 3)
+    and scattering 9 channels: ~3x faster measured on v5e).  The
+    pixel->face assignment stays detached — hard blur=0 semantics.
+    """
     proj, pix_uv, faces, idx = res
     B, P = idx.shape
-    V = proj.shape[1]
-    hit = idx >= 0
-    safe_idx = jnp.where(hit, idx, 0)
-    tri_idx = faces[safe_idx]                   # (B, P, 3) vertex ids
-    tri = jnp.take_along_axis(
-        proj[:, :, None, :], tri_idx[..., None], axis=1)  # (B,P,3,3)
-    dtri = _grad_z_tri(tri, pix_uv)             # (B, P, 3, 3)
-    upd = dtri * (g * hit)[..., None, None]     # (B, P, 3, 3)
+    T = faces.shape[0]
+    hit = (idx >= 0).astype(g.dtype)
+    gm = g * hit
+    safe_idx = jnp.where(idx >= 0, idx, 0)
+    upd = jnp.stack([gm, gm * pix_uv[..., 0], gm * pix_uv[..., 1]], axis=-1)
 
     def scatter(one_idx, one_upd):
-        return jnp.zeros((V, 3), proj.dtype).at[one_idx.reshape(-1)].add(
-            one_upd.reshape(-1, 3))
+        return jnp.zeros((T, 3), g.dtype).at[one_idx].add(one_upd)
 
-    dproj = jax.vmap(scatter)(tri_idx, upd)
+    mom = jax.vmap(scatter)(safe_idx, upd)      # (B, T, 3): S1, Su, Sv
+
+    def face_sum(p):
+        tri = p[:, faces]
+        u0, v0, z0 = tri[..., 0, 0], tri[..., 0, 1], tri[..., 0, 2]
+        u1, v1, z1 = tri[..., 1, 0], tri[..., 1, 1], tri[..., 1, 2]
+        u2, v2, z2 = tri[..., 2, 0], tri[..., 2, 1], tri[..., 2, 2]
+        a = jnp.stack([v1 - v2, v2 - v0, v0 - v1], axis=-1)
+        b = jnp.stack([u2 - u1, u0 - u2, u1 - u0], axis=-1)
+        c = jnp.stack([u1 * v2 - u2 * v1, u2 * v0 - u0 * v2,
+                       u0 * v1 - u1 * v0], axis=-1)
+        A = c.sum(-1)
+        z = jnp.stack([z0, z1, z2], axis=-1)
+        az = (a * z).sum(-1)
+        bz = (b * z).sum(-1)
+        cz = (c * z).sum(-1)
+        Asafe = jnp.where(jnp.abs(A) < 1e-9, 1.0, A)
+        per_face = (az * mom[..., 1] + bz * mom[..., 2]
+                    + cz * mom[..., 0]) / Asafe
+        return jnp.sum(jnp.where(jnp.abs(A) < 1e-9, 0.0, per_face))
+
+    dproj = jax.grad(face_sum)(proj)
     return dproj, jnp.zeros_like(pix_uv), None
 
 

@@ -109,7 +109,7 @@ def run(cfg: Config):
     if cfg.phase == "test":
         views = range(3) if cfg.dataset == "nyu" else [0]
         for view in views:
-            errs = _test_view(tr, state, cfg, view)
+            errs = _test_view(tr, state, cfg, view, run_dir)
             print(f"view {view}: " + " ".join(f"[{e:.2f}mm]" for e in errs))
         return
 
@@ -137,13 +137,16 @@ def run(cfg: Config):
 
     views = range(3) if cfg.dataset == "nyu" else [0]
     for view in views:
-        errs = _test_view(tr, state, cfg, view)
+        errs = _test_view(tr, state, cfg, view, run_dir)
         print(f"view {view}: " + " ".join(f"[{e:.2f}mm]" for e in errs))
 
 
-def _test_view(tr, state, cfg, view):
+def _test_view(tr, state, cfg, view, run_dir=None):
+    """Evaluate one view; optionally export result/mesh/MANO txt files
+    (ref: test exports, train_render.py:320-325, 383-398)."""
     import jax.numpy as jnp
     from dsf_tpu.data import datasets as D
+    from dsf_tpu.data import crop as C
     root = os.path.join(cfg.root_dir, cfg.dataset)
     if cfg.dataset == "nyu":
         ds = D.NYUDataset(root, "test", view=view, img_size=cfg.input_size,
@@ -151,10 +154,52 @@ def _test_view(tr, state, cfg, view):
     else:
         _, ds, _ = _make_datasets(cfg)
 
-    def batches():
-        for b in ds.prefetch_batches(cfg.batch_size, shuffle=False,
-                                     drop_last=True):
-            yield {k: jnp.asarray(v) for k, v in b.items()
-                   if k in ("img", "xyz_gt", "center", "M", "cube")}
+    export = run_dir is not None and (cfg.save_result or cfg.save_mesh)
+    files = {}
+    if export:
+        s = cfg.stage_num * 2 - 1
+        if cfg.save_result:
+            files["r0"] = open(os.path.join(run_dir, f"result_0_{view}.txt"), "w")
+            files["r1"] = open(os.path.join(run_dir, f"result_1_{view}.txt"), "w")
+        if cfg.save_mesh:
+            files["mesh"] = open(
+                os.path.join(run_dir, f"mesh_result_{s}_{view}.txt"), "w")
+            files["mano"] = open(
+                os.path.join(run_dir, f"MANO_result_{s}_{view}.txt"), "w")
 
-    return tr.evaluate(state, batches())
+    step = tr.eval_step_fn()
+    totals, n = None, 0
+    from dsf_tpu.parallel import mesh as pmesh
+    for b in ds.prefetch_batches(cfg.batch_size, shuffle=False,
+                                 drop_last=True):
+        batch = {k: jnp.asarray(v) for k, v in b.items()
+                 if k in ("img", "xyz_gt", "center", "M", "cube")}
+        batch = pmesh.shard_batch(tr.mesh, batch)
+        errors, results = step(state.params, state.batch_stats, batch)
+        errors = np.asarray(errors)
+        totals = errors if totals is None else totals + errors
+        n += 1
+        if export:
+            B = cfg.batch_size
+            center = np.asarray(batch["center"])[:, None]
+            cube = np.asarray(batch["cube"])[:, None]
+            last = cfg.stage_num - 1
+            if cfg.save_result:
+                for key, fh in (("joint_xyz_%d" % last, files["r0"]),
+                                ("mano_joint_xyz_%d" % last, files["r1"])):
+                    world = np.asarray(results[key]) * cube / 2 + center
+                    uvd = C.joint_3d_to_img(world, ds.paras, ds.flip)
+                    if cfg.dataset == "icvl":
+                        # ICVL exports un-flip u (ref train_render.py:857-860)
+                        uvd[:, :, 0] = ds.ori_img_size[0] - uvd[:, :, 0]
+                    np.savetxt(fh, uvd.reshape(B, -1), fmt="%.3f")
+            if cfg.save_mesh:
+                mesh_world = (np.asarray(results[f"mano_mesh_{last}"])
+                              * cube / 2 + center)
+                np.savetxt(files["mesh"], mesh_world.reshape(B, -1), fmt="%.3f")
+                np.savetxt(files["mano"],
+                           np.asarray(results[f"mano_para_{last}"]),
+                           fmt="%.3f")
+    for fh in files.values():
+        fh.close()
+    return totals / max(n, 1)

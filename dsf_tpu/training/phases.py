@@ -118,8 +118,11 @@ def _apply(apply_fn, variables, img, r, center, cube, train):
     if train:
         out, mut = apply_fn(variables, img, r, center, cube, train=True,
                             mutable=["batch_stats"])
-        return out, mut
-    return apply_fn(variables, img, r, center, cube, train=False), {}
+    else:
+        out, mut = apply_fn(variables, img, r, center, cube, train=False), {}
+    # losses always run in f32 regardless of the net's compute dtype
+    out = [[o[0].astype(jnp.float32), o[1].astype(jnp.float32)] for o in out]
+    return out, mut
 
 
 # ---------------------------------------------------------------------------

@@ -84,13 +84,16 @@ class Trainer:
         self.transfer_map = transfer_for_dataset(cfg.dataset)
 
         refine = cfg.stage_num == 2
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         if "ResNet" in cfg.net:
             depth = int(cfg.net.split("_")[-1])
-            self.net = ManoOCRStage(joint_num=21, depth=depth, refine=refine)
+            self.net = ManoOCRStage(joint_num=21, depth=depth, refine=refine,
+                                    dtype=dtype)
         else:
             raise NotImplementedError(cfg.net)
 
-        self.transfer_net = ResnetGenerator() if cfg.transferNet_pth else None
+        self.transfer_net = (ResnetGenerator(dtype=dtype)
+                             if cfg.transferNet_pth else None)
         self.transfer_vars = None
         if self.transfer_net is not None and os.path.exists(cfg.transferNet_pth):
             from dsf_tpu.models.torch_import import load_cyclegan_generator
