@@ -130,3 +130,125 @@ def gan_loss(pred, target_is_real, mode="lsgan"):
         return jnp.mean(
             jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred))))
     raise ValueError(mode)
+
+
+class ResnetEncoder(nn.Module):
+    """Stem + downsampling + resblocks half of the generator
+    (ref: transfer.py:451-498) — used by encoder/decoder CycleGAN
+    variants."""
+    input_nc: int = 1
+    ngf: int = 64
+    n_blocks: int = 6
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = _reflect_pad(x, 3)
+        x = _ConvIN(self.ngf, 7, dtype=self.dtype, name="stem")(x)
+        x = nn.relu(_instance_norm(x))
+        for i in range(2):
+            mult = 2 ** i
+            x = _ConvIN(self.ngf * mult * 2, 3, 2, 1, dtype=self.dtype,
+                        name=f"down{i}")(x)
+            x = nn.relu(_instance_norm(x))
+        for i in range(self.n_blocks):
+            x = ResnetBlock(self.ngf * 4, dtype=self.dtype, name=f"res{i}")(x)
+        return x
+
+
+class ResnetDecoder(nn.Module):
+    """Upsampling + head half (ref: transfer.py:501-544)."""
+    output_nc: int = 1
+    ngf: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        from dsf_tpu.models.layers import ConvTranspose
+        for i in range(2):
+            mult = 2 ** (2 - i)
+            x = ConvTranspose(int(self.ngf * mult / 2), 3, 2, 1,
+                              output_padding=1, use_bias=True,
+                              dtype=self.dtype, name=f"up{i}")(x)
+            x = nn.relu(_instance_norm(x))
+        x = _reflect_pad(x, 3)
+        x = _ConvIN(self.output_nc, 7, dtype=self.dtype, name="head")(x)
+        return jnp.tanh(x)
+
+
+class UnetGenerator(nn.Module):
+    """U-Net generator (ref: transfer.py:607-706): num_downs nested
+    skip blocks, innermost at a 1x1 bottleneck for 128 inputs."""
+    input_nc: int = 1
+    output_nc: int = 1
+    num_downs: int = 7
+    ngf: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        from dsf_tpu.models.layers import ConvTranspose
+
+        def down(x, ch, name):
+            y = nn.Conv(ch, (4, 4), (2, 2), padding=((1, 1), (1, 1)),
+                        use_bias=True, dtype=self.dtype,
+                        name=name)(x.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+            return y
+
+        def up(x, ch, name):
+            y = ConvTranspose(ch, 4, 2, 1, use_bias=True, dtype=self.dtype,
+                              name=name)(nn.relu(x))
+            return _instance_norm(y)
+
+        chans = [min(self.ngf * (2 ** i), self.ngf * 8)
+                 for i in range(self.num_downs)]
+        skips = []
+        h = x
+        for i, ch in enumerate(chans):
+            h = down(nn.leaky_relu(h, 0.2) if i else h, ch, f"down{i}")
+            if i < len(chans) - 1:
+                h = _instance_norm(h)
+            skips.append(h)
+        h = skips.pop()
+        for i, ch in enumerate(reversed(chans[:-1])):
+            h = up(h, ch, f"up{i}")
+            h = jnp.concatenate([skips.pop(), h], axis=1)
+        y = ConvTranspose(self.output_nc, 4, 2, 1, use_bias=True,
+                          dtype=self.dtype, name="head")(nn.relu(h))
+        return jnp.tanh(y)
+
+
+class PixelDiscriminator(nn.Module):
+    """1x1 PatchGAN (ref: transfer.py:757-786)."""
+    input_nc: int = 1
+    ndf: int = 64
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = _ConvIN(self.ndf, 1, dtype=self.dtype, name="c0")(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = _ConvIN(self.ndf * 2, 1, dtype=self.dtype, name="c1")(x)
+        x = nn.leaky_relu(_instance_norm(x), 0.2)
+        return _ConvIN(1, 1, dtype=self.dtype, name="head")(x)
+
+
+def gradient_penalty(key, disc_apply, real, fake, mode="mixed", constant=1.0):
+    """WGAN-GP style penalty (ref: cal_gradient_penalty,
+    transfer.py:356-390)."""
+    import jax
+    if mode == "real":
+        interp = real
+    elif mode == "fake":
+        interp = fake
+    else:
+        alpha = jax.random.uniform(key, (real.shape[0], 1, 1, 1))
+        interp = alpha * real + (1 - alpha) * fake
+
+    def d_sum(x):
+        return disc_apply(x).sum()
+
+    grads = jax.grad(d_sum)(interp)
+    gnorm = jnp.sqrt(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2,
+                             axis=1) + 1e-16)
+    return jnp.mean((gnorm - constant) ** 2)
