@@ -9,7 +9,7 @@ per-dataset tables and the same auto-composed run name.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import Tuple
 
 JOINT = {"nyu": 14, "icvl": 16, "msra": 21, "shrec": 21}
 STEP = {"nyu": 10, "msra": 5, "icvl": 4, "shrec": 5}

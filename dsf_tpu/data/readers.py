@@ -9,7 +9,7 @@ def nyu_reader(img_path):
     """NYU packed PNG: depth = G*256 + B (ref: nyu_reader,
     render_loader.py:208-211)."""
     import cv2
-    img = cv2.imread(img_path)
+    img = cv2.imread(img_path).astype(np.int32)
     return np.asarray(img[:, :, 0] + img[:, :, 1] * 256, dtype=np.float32)
 
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from dsf_tpu.models.layers import BatchNorm, kaiming_out_init, normal001_init
+from dsf_tpu.models.layers import BatchNorm, kaiming_out_init
 
 
 class HgConv(nn.Module):

@@ -69,7 +69,7 @@ def _kernel(pix_ref, ke_ref, zbuf_ref, idx_ref):
 def raster_pallas(proj, pix_uv, faces):
     """Rasterize with the Pallas kernel.  proj (B, V, 3); pix_uv
     (B, P, 2); faces (F, 3).  Returns (zbuf (B, P), idx (B, P))."""
-    from dsf_tpu.ops.rasterize import _face_coeffs, _pad_to_multiple
+    from dsf_tpu.ops.rasterize import _face_coeffs
 
     B, P = pix_uv.shape[0], pix_uv.shape[1]
     a, b, c, az, bz, cz, valid = _face_coeffs(proj, faces)

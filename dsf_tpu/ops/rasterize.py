@@ -25,11 +25,8 @@ face chunks so the (pixels x faces) tensor is never materialized.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dsf_tpu import geometry as geo
 

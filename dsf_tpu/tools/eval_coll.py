@@ -15,7 +15,6 @@ Usage: python -m dsf_tpu.tools.eval_coll mesh_result_1_0.txt --mano mano.npz
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

@@ -10,8 +10,6 @@ collision).  Runs fully on-device; one jit'd update step.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -5,7 +5,6 @@ same partial-restore warm-start semantics for finetune_dir)."""
 from __future__ import annotations
 
 import os
-from typing import Tuple
 
 import jax
 import numpy as np

@@ -81,6 +81,9 @@ def run(cfg: Config):
     logging.basicConfig(
         format="%(asctime)s %(message)s", datefmt="%Y/%m/%d %H:%M:%S",
         filename=os.path.join(run_dir, "train.log"), level=logging.INFO)
+    # orbax/absl flood INFO per checkpoint write; keep train.log readable
+    for noisy in ("absl", "orbax", "jax._src", "etils"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         json.dump({k: str(v) for k, v in vars(cfg).items()}, f, indent=2)
 

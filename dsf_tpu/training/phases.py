@@ -15,7 +15,7 @@ Each returns (loss, (mutated_model_state, metrics_dict)).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,104 @@
+"""Tests: grid_sample parity vs torch, fixed-N cloud ops, crop_hand."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsf_tpu import geometry as geo
+from dsf_tpu.ops import image as I
+from dsf_tpu.ops import cloud
+
+NYU = (588.03, 587.07, 320.0, 240.0)
+
+
+def test_grid_sample_matches_torch_nearest_and_bilinear():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    img = rng.randn(2, 3, 24, 32).astype(np.float32)
+    grid = rng.uniform(-1.2, 1.2, (2, 10, 12, 2)).astype(np.float32)
+    for mode in ("nearest", "bilinear"):
+        expected = torch.nn.functional.grid_sample(
+            torch.from_numpy(img), torch.from_numpy(grid), mode=mode,
+            padding_mode="zeros", align_corners=False).numpy()
+        got = np.asarray(I.grid_sample(jnp.asarray(img), jnp.asarray(grid),
+                                       mode=mode, align_corners=False))
+        # nearest: allow rare half-pixel rounding ties at exact .5 coords
+        if mode == "nearest":
+            assert (np.isclose(got, expected, atol=1e-5).mean()) > 0.99
+        else:
+            np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_resize_nearest_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(1)
+    img = rng.randn(1, 1, 128, 128).astype(np.float32)
+    expected = torch.nn.functional.interpolate(
+        torch.from_numpy(img), size=(64, 64)).numpy()
+    got = np.asarray(I.resize_nearest(jnp.asarray(img), (64, 64)))
+    np.testing.assert_allclose(got, expected)
+
+
+def test_img_to_pcl_fixed_shape_and_valid():
+    """All sampled points must come from foreground pixels, mapped
+    through the correct geometry."""
+    rng = np.random.RandomState(2)
+    B, S, N = 2, 128, 256
+    center = jnp.asarray([[0.0, 0.0, 750.0]] * B)
+    cube = jnp.full((B, 3), 250.0)
+    com = geo.xyz_to_uvd(center, NYU)
+    M = geo.crop_matrix(com, cube, NYU, (S, S))
+    img = jnp.ones((B, 1, S, S))
+    # a foreground square at depth 0.2 (normalized)
+    img = img.at[:, :, 40:80, 50:90].set(0.2)
+    pcl = cloud.img_to_pcl(jax.random.PRNGKey(0), img, center, M, cube,
+                           NYU, S, N, S)
+    assert pcl.shape == (B, N, 3)
+    p = np.asarray(pcl)
+    # z of all sampled points equals the normalized 0.2 plane
+    np.testing.assert_allclose(p[..., 2], 0.2, atol=1e-3)
+
+
+def test_img_to_pcl_empty_image_zeros():
+    B, S, N = 1, 64, 128
+    center = jnp.asarray([[0.0, 0.0, 750.0]])
+    cube = jnp.full((B, 3), 250.0)
+    com = geo.xyz_to_uvd(center, NYU)
+    M = geo.crop_matrix(com, cube, NYU, (S, S))
+    img = jnp.ones((B, 1, S, S))          # all background
+    pcl = cloud.img_to_pcl(jax.random.PRNGKey(0), img, center, M, cube,
+                           NYU, S, N, S)
+    np.testing.assert_allclose(np.asarray(pcl), 0.0)
+
+
+def test_crop_hand_removes_outside():
+    B, S = 1, 64
+    center = jnp.asarray([[0.0, 0.0, 750.0]])
+    cube = jnp.full((B, 3), 250.0)
+    com = geo.xyz_to_uvd(center, NYU)
+    M = geo.crop_matrix(com, cube, NYU, (S, S))
+    img = jnp.full((B, 1, S, S), 0.0)     # everything at center depth
+    # joints clustered at the center -> only a small box kept
+    joints = jnp.zeros((B, 21, 3))
+    out = cloud.crop_hand(img, joints, center, M, cube, NYU, S,
+                          offsetxy=20.0, offsetz=20.0)
+    arr = np.asarray(out[0, 0])
+    assert arr[S // 2, S // 2] == 0.0     # center kept
+    assert arr[2, 2] == 1.0               # far corner removed -> background
+    assert (arr == 1.0).sum() > (arr == 0.0).sum() * 0  # some removed
+
+
+def test_pcl_roundtrip_through_image():
+    """xyz -> image (pcl_to_img) -> cloud (img_to_pcl) keeps depth."""
+    B, S, N = 1, 128, 64
+    center = jnp.asarray([[0.0, 0.0, 750.0]])
+    cube = jnp.full((B, 3), 250.0)
+    com = geo.xyz_to_uvd(center, NYU)
+    M = geo.crop_matrix(com, cube, NYU, (S, S))
+    rng = np.random.RandomState(3)
+    pts = jnp.asarray(rng.uniform(-0.5, 0.5, (B, N, 3)).astype(np.float32))
+    img = cloud.pcl_to_img(pts, S, center, M, cube, NYU, S)
+    assert img.shape == (B, 1, S, S)
+    fg = np.asarray(img[0, 0])
+    assert (fg < 0.99).sum() >= N * 0.5   # most points landed
