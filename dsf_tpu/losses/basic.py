@@ -54,3 +54,18 @@ def depth_loss_select(real, synth, thresh=0.99):
     diff = jnp.abs(real - synth)
     denom = jnp.maximum(mask.sum(), 1)
     return jnp.where(mask, diff, 0.0).sum() / denom
+
+
+def surface_loss(real_img, verts_nl, center, M, cube, paras, img_size,
+                 key=None, sample_num=1024, flip=1.0):
+    """Chamfer between the depth-image cloud and the mesh vertices
+    (ref: surface_loss, render_model/render_loss.py:37-117 — constructed
+    but unused at runtime; provided for parity)."""
+    import jax
+    from dsf_tpu.ops.cloud import img_to_pcl
+    from dsf_tpu.losses.icp import chamfer_distance
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    pcl = img_to_pcl(key, real_img, center, M, cube, paras, img_size,
+                     sample_num, img_size, flip)
+    return chamfer_distance(pcl, verts_nl).mean()

@@ -97,3 +97,59 @@ class ResLayer(nn.Module):
             x = self.block(self.planes, 1, False, self.bn_axis_name,
                            self.dtype, name=f"block{i}")(x, train)
         return x
+
+
+class RefineNet(nn.Module):
+    """Tiny center-refiner CNN (ref: resnet.py:101-137) — small conv
+    stack + FC producing a 3-D center offset.  Not used by the default
+    DSF path; kept for inventory parity."""
+    input_size: int = 96
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+        import jax.numpy as jnp
+        from dsf_tpu.models.layers import Conv
+        x = Conv(8, 5, 1, 2, use_bias=True, dtype=self.dtype, name="c1")(x)
+        x = nn.relu(x)
+        x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                  (1, 1, 4, 4), (1, 1, 4, 4),
+                                  ((0, 0),) * 4)
+        x = Conv(8, 3, 1, 1, use_bias=True, dtype=self.dtype, name="c2")(x)
+        x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                  (1, 1, 2, 2), (1, 1, 2, 2),
+                                  ((0, 0),) * 4)
+        x = nn.relu(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(128, name="fc1")(x))
+        return nn.Dense(3, name="fc2")(x)
+
+
+class ResNet18Regressor(nn.Module):
+    """Standalone ResNet-18 joint regressor (ref: resnet.py:139+) —
+    AdaptiveAvgPool + FC to joint_num*3.  Unused by the default path."""
+    joint_num: int = 14
+    bn_axis_name: Optional[str] = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from dsf_tpu.models.layers import (Conv, BatchNorm, max_pool_3x3_s2,
+                                           adaptive_avg_pool_1)
+        import flax.linen as fnn
+        x = Conv(64, 5, 1, 2, dtype=self.dtype, name="pre_conv")(x)
+        x = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                      name="pre_bn")(x, train)
+        x = fnn.relu(x)
+        x = max_pool_3x3_s2(x)
+        block, layers = RESNET_SPECS[18]
+        inp = 64
+        for li, (planes, stride) in enumerate(
+                zip((64, 128, 256, 512), (1, 2, 2, 2)), start=1):
+            x = ResLayer(block, planes, layers[li - 1], stride, inp,
+                         self.bn_axis_name, self.dtype,
+                         name=f"layer{li}")(x, train)
+            inp = planes
+        feat = adaptive_avg_pool_1(x)
+        return fnn.Dense(self.joint_num * 3, name="fc")(feat)
