@@ -154,22 +154,40 @@ def _prep_real(r, cfg, key, img_r, center_r, M_r, cube_r,
     return crop_img, seg_img, joint_pcl, seg, pcl
 
 
-def _m2d(crop_img, mano_img_crop):
-    """Masked depth difference (ref :729-732)."""
+def _m2d(crop_img, mano_img_crop, masked_numerator=True):
+    """Masked depth difference.
+
+    FinetuneStage masks the numerator (ref :730-731); the 1-stage
+    Finetune divides the UNMASKED mean |diff| by the mask mean
+    (ref :557) — numerically near-identical (backgrounds are both
+    exactly +1) but preserved faithfully.
+    """
     mask = ((crop_img < 0.99) | (mano_img_crop < 0.99)).astype(crop_img.dtype)
-    diff = jnp.abs(crop_img - mano_img_crop) * mask
+    diff = jnp.abs(crop_img - mano_img_crop)
+    if masked_numerator:
+        diff = diff * mask
     return diff.sum((-1, -2)) / (mask.sum((-1, -2)) + 1e-8)   # (B, 1)
 
 
-def _m2p_mask(crop_img, mano_img_crop, d2m_batch, pd2m_joint):
-    """The M2P gating logic (ref :785-795): per-sample depth & icp gates
-    AND per-joint part gates expanded to 21 joints."""
+def _m2p_mask(crop_img, mano_img_crop, d2m_batch, pd2m_joint,
+              thresh=0.99, union_denominator=True):
+    """The M2P gating logic: per-sample depth & icp gates AND per-joint
+    part gates expanded to 21 joints.  FinetuneStage gates at 0.99 with
+    the union-mask denominator (ref :785-795); the 1-stage Finetune at
+    0.95 with the both-mask denominator (ref :586-589)."""
     B = crop_img.shape[0]
-    both = ((crop_img < 0.99) & (mano_img_crop < 0.99)).astype(crop_img.dtype)
-    union = ((crop_img < 0.99) | (mano_img_crop < 0.99)).astype(crop_img.dtype)
+    both = ((crop_img < thresh) & (mano_img_crop < thresh)).astype(crop_img.dtype)
+    union = ((crop_img < thresh) | (mano_img_crop < thresh)).astype(crop_img.dtype)
     num = (jnp.abs(crop_img - mano_img_crop) * both).sum((-1, -2))
-    depth_val = num / (union.sum((-1, -2)) + 1e-8)
-    depth_mask = (depth_val < 0.04).squeeze(-1)
+    denom = union if union_denominator else both
+    denom_sum = denom.sum((-1, -2))
+    depth_val = num / (denom_sum + 1e-8)
+    depth_mask = depth_val < 0.04
+    if not union_denominator:
+        # the 1-stage reference divides WITHOUT eps (ref :588): an empty
+        # mask yields nan which fails the lt(0.04) gate — keep that
+        depth_mask = depth_mask & (denom_sum > 0)
+    depth_mask = depth_mask.squeeze(-1)
     icp_mask = d2m_batch < 1e-3
     mano_mask = depth_mask & icp_mask                     # (B,)
     joint_mask = pd2m_joint < 1e-3                        # (B, 15)
@@ -241,7 +259,7 @@ def finetune_loss(apply_fn, variables, key, model_para, cube,
                                     center_r, M_r, cube_r, r.paras,
                                     cfg.input_size, flip=r.flip)
 
-    m2d_b = _m2d(crop_img, mano_img_crop)
+    m2d_b = _m2d(crop_img, mano_img_crop, masked_numerator=False)
     m2d = m2d_b.mean()
     pd2m_joint = joint_icp_loss(mesh_r, joint_pcl, r.mano.faces,
                                 r.mano.joint_face_mask, seg)
@@ -250,7 +268,8 @@ def finetune_loss(apply_fn, variables, key, model_para, cube,
     d2m = d2m_b.mean()
 
     p2m = smooth_l1(mano_juvd_r, jax.lax.stop_gradient(juvd_r)) * cfg.coord_weight
-    m2p_mask = _m2p_mask(crop_img, mano_img_r, d2m_b, pd2m_joint)
+    m2p_mask = _m2p_mask(crop_img, mano_img_r, d2m_b, pd2m_joint,
+                         thresh=0.95, union_denominator=False)
     m2p = _masked_select_sl1(juvd_r, jax.lax.stop_gradient(mano_juvd_r),
                              jax.lax.stop_gradient(m2p_mask)) * cfg.coord_weight
 

@@ -56,14 +56,18 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
         return cfg.lr * (0.1 ** (epoch // cfg.step_size))
 
     if cfg.opt == "adamw":
-        return optax.adamw(schedule, weight_decay=0.01)
-    if cfg.opt == "adam":
-        return optax.adam(schedule)
-    if cfg.opt == "sgd":
-        return optax.chain(
+        tx = optax.adamw(schedule, weight_decay=0.01)
+    elif cfg.opt == "adam":
+        tx = optax.adam(schedule)
+    elif cfg.opt == "sgd":
+        tx = optax.chain(
             optax.add_decayed_weights(1e-4),
             optax.sgd(schedule, momentum=0.9))
-    raise ValueError(cfg.opt)
+    else:
+        raise ValueError(cfg.opt)
+    # failure detection the reference lacks (SURVEY §5): skip updates on
+    # non-finite grads instead of poisoning the parameters
+    return optax.apply_if_finite(tx, max_consecutive_errors=8)
 
 
 @dataclasses.dataclass
