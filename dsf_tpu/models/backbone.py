@@ -115,7 +115,8 @@ class ManoOCRStage(nn.Module):
 
     @nn.compact
     def __call__(self, img, render: Optional[rnd.Renderer] = None,
-                 center=None, cube=None, train: bool = True):
+                 center=None, cube=None, train: bool = True,
+                 return_render: bool = False):
         c0, c4 = _Trunk(self.depth, True, 64, self.bn_axis_name, self.dtype,
                         name="trunk")(img, train)
         img_result, mano_para, img_feature = _Heads(
@@ -123,13 +124,15 @@ class ManoOCRStage(nn.Module):
             name="heads")(c4, train)
 
         if not self.refine:
-            return [[img_result, mano_para]]
+            return ([[img_result, mano_para]], None) if return_render \
+                else [[img_result, mano_para]]
 
         # stage 2: re-render stage-1 MANO inside the forward pass.
         # The remap feature size equals the decoder resolution (input/2;
         # the reference hardcodes 64 for its 128 inputs, backbone.py:305).
-        mano_img, mano_joint_uvd, _, _ = rnd.render_params(
+        render_s1 = rnd.render_params(
             render, mano_para.astype(jnp.float32), center, cube)
+        mano_img, mano_joint_uvd, _, _ = render_s1
         remap = joint2offset(mano_joint_uvd, mano_img, 0.8,
                              img_result.shape[-1])
         fusion = jnp.concatenate(
@@ -142,4 +145,9 @@ class ManoOCRStage(nn.Module):
         img_result_s2, mano_para_s2, _ = _Heads(
             self.joint_num, self.bn_axis_name, self.dtype,
             name="heads_s2")(c4_s2, train)
-        return [[img_result, mano_para], [img_result_s2, mano_para_s2]]
+        outputs = [[img_result, mano_para], [img_result_s2, mano_para_s2]]
+        # expose the internal render: the trainer's stage-1 losses need
+        # exactly this render (same params/center/cube) — reusing it
+        # saves one raster forward+backward per step (the reference
+        # redundantly re-renders, train_render.py:719)
+        return (outputs, render_s1) if return_render else outputs

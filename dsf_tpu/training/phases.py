@@ -114,14 +114,22 @@ def pretrain_loss(apply_fn, variables, key, model_para, cube, *,
     return loss, (new_state, metrics)
 
 
-def _apply(apply_fn, variables, img, r, center, cube, train):
+def _apply(apply_fn, variables, img, r, center, cube, train,
+           return_render=False):
+    kw = {"return_render": True} if return_render else {}
     if train:
         out, mut = apply_fn(variables, img, r, center, cube, train=True,
-                            mutable=["batch_stats"])
+                            mutable=["batch_stats"], **kw)
     else:
-        out, mut = apply_fn(variables, img, r, center, cube, train=False), {}
+        out = apply_fn(variables, img, r, center, cube, train=False, **kw)
+        mut = {}
+    render_s1 = None
+    if return_render:
+        out, render_s1 = out
     # losses always run in f32 regardless of the net's compute dtype
     out = [[o[0].astype(jnp.float32), o[1].astype(jnp.float32)] for o in out]
+    if return_render:
+        return out, render_s1, mut
     return out, mut
 
 
@@ -341,8 +349,9 @@ def finetune_stage_loss(apply_fn, variables, key, model_para, cube,
 
     # ---------------- real: stage-2 is the teacher (ref :670-703)
     vars1 = _merge_state(variables, state1)
-    outputs_r, state2 = _apply(apply_fn, vars1, img_r, r, center_r, cube_r,
-                               train)
+    outputs_r, render_s1_real, state2 = _apply(
+        apply_fn, vars1, img_r, r, center_r, cube_r, train,
+        return_render=True)
     pixel_t, para_t = outputs_r[1]
     pixel_t = jax.lax.stop_gradient(pixel_t)
     para_t = jax.lax.stop_gradient(para_t)
@@ -368,8 +377,13 @@ def finetune_stage_loss(apply_fn, variables, key, model_para, cube,
             _transfer_slice(jxyz_r, transfer_map)[:, :nt],
             xyz_gt_r[:, :nt], center_r, cube_r)
 
-        mano_img_r, mano_juvd_r, mano_jxyz_r, mesh_r = rnd.render_params(
-            r, para_r, center_r, cube_r)
+        if idx == 0 and render_s1_real is not None:
+            # the net's stage-2 input render IS this render (same params,
+            # center, cube) — reuse instead of re-rasterizing
+            mano_img_r, mano_juvd_r, mano_jxyz_r, mesh_r = render_s1_real
+        else:
+            mano_img_r, mano_juvd_r, mano_jxyz_r, mesh_r = rnd.render_params(
+                r, para_r, center_r, cube_r)
         metrics[f"mano_error_{idx}"] = xyz2error_mm(
             _transfer_slice(mano_jxyz_r, transfer_map)[:, :nt],
             xyz_gt_r[:, :nt], center_r, cube_r)

@@ -140,12 +140,13 @@ class Trainer:
         transfer_fn = self._transfer_fn()
         tm = self.transfer_map
 
-        def apply_fn(variables, img, rend, center, cube, train, mutable=None):
+        def apply_fn(variables, img, rend, center, cube, train, mutable=None,
+                     **kw):
             if mutable:
                 return self.net.apply(variables, img, rend, center, cube,
-                                      train=train, mutable=mutable)
+                                      train=train, mutable=mutable, **kw)
             return self.net.apply(variables, img, rend, center, cube,
-                                  train=train)
+                                  train=train, **kw)
 
         if phase_name == "Pretrain":
             def fn(params, batch_stats, key, batch):
