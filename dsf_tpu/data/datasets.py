@@ -513,3 +513,17 @@ class ConcatDataset(BaseDataset):
     def __getitem__(self, i):
         k = int(np.searchsorted(self._offsets, i, side="right") - 1)
         return self.datasets[k][i - int(self._offsets[k])]
+
+
+class NYUTestAugDataset(NYUDataset):
+    """NYU test split WITH train-time augmentation (ref: nyu_loader_test,
+    render_loader.py:1483-1583): used for self-training experiments on
+    the test distribution.  Keeps the train-sized cubes (no 5/6 shrink)."""
+
+    def __init__(self, root_dir, **kw):
+        super().__init__(root_dir, "test", **kw)
+        self.test_cubesize[:] = self.cube_size   # no test-cube shrink
+        self.phase = "train"                     # enables augmentCrop
+        # file paths were resolved against the test split in __init__;
+        # keep them (self.data_path already points at {root}/test)
+        self.data_path = os.path.join(root_dir, "test")
