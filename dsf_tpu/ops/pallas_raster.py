@@ -72,7 +72,7 @@ def raster_pallas(proj, pix_uv, faces):
     from dsf_tpu.ops.rasterize import _face_coeffs
 
     B, P = pix_uv.shape[0], pix_uv.shape[1]
-    a, b, c, az, bz, cz, valid = _face_coeffs(proj, faces)
+    a, b, c, az, bz, cz, valid, _sgn = _face_coeffs(proj, faces)
     # disable invalid faces via c0 = -inf (their e0 is always negative)
     c = c.at[..., 0].set(jnp.where(valid, c[..., 0], -_INF))
 

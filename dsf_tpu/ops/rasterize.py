@@ -95,7 +95,7 @@ def _face_coeffs(proj, faces):
     az = (a * z).sum(-1) * (sgn[..., 0] * Ainv)
     bz = (b * z).sum(-1) * (sgn[..., 0] * Ainv)
     cz = (c * z).sum(-1) * (sgn[..., 0] * Ainv)
-    return a, b, c, az, bz, cz, valid
+    return a, b, c, az, bz, cz, valid, sgn[..., 0]
 
 
 def _pad_to_multiple(x, axis, m, value):
@@ -108,14 +108,49 @@ def _pad_to_multiple(x, axis, m, value):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _raster_scan(proj, pix_uv, faces):
+# Backface culling for CLOSED, consistently-wound meshes (e.g. the
+# wrist-capped MANO): the nearest hit along any ray is front-facing, so
+# testing only front faces is exact (validated bit-exact in
+# tests/test_rasterize.py).  Front faces are packed first by a stable
+# argsort on the projected-area sign and the scan runs over a bounded
+# window.  0 disables; +1/-1 selects the winding sign meaning "front"
+# for the asset.  MEASURED on v5e at MANO scale (1566 faces, B=32,
+# 128^2): culled 15.3ms vs full 10.5ms — the argsort + coefficient
+# gathers outweigh the 25% chunk savings, so this stays OFF; it pays
+# only for much larger face counts or if the packing moves into the
+# coefficient computation itself.
+BACKFACE_CULL_SIGN = 0
+CULL_KEEP_FRAC = 0.75
+
+
+def _raster_scan(proj, pix_uv, faces, cull_sign=None):
     """XLA fallback: scan over face chunks, carry running (zmin, argmin).
 
     proj (B,V,3), pix_uv (B,P,2), faces (F,3) -> zbuf (B,P), idx (B,P).
     """
+    if cull_sign is None:
+        cull_sign = BACKFACE_CULL_SIGN
     B, P = pix_uv.shape[0], pix_uv.shape[1]
-    a, b, c, az, bz, cz, valid = _face_coeffs(proj, faces)
+    a, b, c, az, bz, cz, valid, sgn = _face_coeffs(proj, faces)
     F = faces.shape[0]
+
+    face_map = None
+    if cull_sign:
+        front = valid & (sgn == cull_sign)
+        order = jnp.argsort(~front, axis=1, stable=True)   # fronts first
+        K = int(-(-int(F * CULL_KEEP_FRAC) // _FACE_CHUNK) * _FACE_CHUNK)
+        K = min(K, F)
+        face_map = order[:, :K]                             # (B, K)
+
+        def takef(x):
+            idxs = face_map
+            if x.ndim == 3:
+                idxs = idxs[..., None]
+            return jnp.take_along_axis(x, idxs, axis=1)
+
+        a, b, c = takef(a), takef(b), takef(c)
+        az, bz, cz = takef(az), takef(bz), takef(cz)
+        valid = jnp.take_along_axis(front, face_map, axis=1)
 
     # pad faces to a chunk multiple with degenerate faces
     def padf(x):
@@ -157,8 +192,12 @@ def _raster_scan(proj, pix_uv, faces):
             jnp.int32(0))
     (zmin, idx, _), _ = jax.lax.scan(body, init, xs)
     zbuf = jnp.where(zmin >= _INF, 0.0, zmin)   # background -> 0 (ref maps
-    idx = jnp.where(zmin >= _INF, -1, idx)      # zbuf<=0 to 0 right after)
-    idx = jnp.where(idx >= F, -1, idx)
+    hit = zmin < _INF                           # zbuf<=0 to 0 right after)
+    if face_map is not None:
+        # remap window-local argmin back to original face ids
+        safe = jnp.clip(idx, 0, face_map.shape[1] - 1)
+        idx = jnp.take_along_axis(face_map, safe, axis=1)
+    idx = jnp.where(hit & (idx < F) & (idx >= 0), idx, -1)
     return zbuf, idx
 
 

@@ -156,3 +156,43 @@ def test_splat_points_min():
     assert img[0, 1, 1] == 40.0   # min of the two points in cell (1,1)
     assert img[0, 0, 3] == 70.0
     assert img[0, 2, 2] == 0.0    # background
+
+
+def _uv_sphere(rings=12, sectors=16, seed=0):
+    """Closed, consistently-wound star-shaped test mesh."""
+    rng = np.random.RandomState(seed)
+    verts = []
+    for r in range(rings + 1):
+        th = np.pi * r / rings
+        for s in range(sectors):
+            ph = 2 * np.pi * s / sectors
+            verts.append([np.sin(th) * np.cos(ph),
+                          np.sin(th) * np.sin(ph), np.cos(th)])
+    verts = np.asarray(verts, np.float32)
+    verts *= (1.0 + 0.3 * rng.rand(len(verts)).astype(np.float32))[:, None]
+    faces = []
+    for r in range(rings):
+        for s in range(sectors):
+            a = r * sectors + s
+            b = r * sectors + (s + 1) % sectors
+            c = (r + 1) * sectors + s
+            d = (r + 1) * sectors + (s + 1) % sectors
+            faces += [[a, b, d], [a, d, c]]
+    return verts, np.asarray(faces, np.int32)
+
+
+def test_backface_culling_exact_on_closed_mesh():
+    """With the correct winding sign, culling is bit-exact; with the
+    wrong sign it is not (sanity that the test has teeth)."""
+    v, f = _uv_sphere()
+    B = 3
+    verts = np.stack([v * 20 + [0, 0, 100] + np.random.RandomState(i).randn(3) * 5
+                      for i in range(B)]).astype(np.float32)
+    pix = jnp.broadcast_to(R.full_frame_pixel_rays((64, 64)), (B, 4096, 2))
+    proj = R.project_verts(jnp.asarray(verts), PARAS)
+    z_full, i_full = R._raster_scan(proj, pix, jnp.asarray(f), cull_sign=0)
+    z_cull, i_cull = R._raster_scan(proj, pix, jnp.asarray(f), cull_sign=1)
+    np.testing.assert_array_equal(np.asarray(z_full), np.asarray(z_cull))
+    np.testing.assert_array_equal(np.asarray(i_full), np.asarray(i_cull))
+    z_wrong, _ = R._raster_scan(proj, pix, jnp.asarray(f), cull_sign=-1)
+    assert float(jnp.abs(z_full - z_wrong).max()) > 1.0
