@@ -87,6 +87,21 @@ def run(cfg: Config):
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         json.dump({k: str(v) for k, v in vars(cfg).items()}, f, indent=2)
 
+    # snapshot the core sources into the run dir for reproducibility
+    # (ref: train_render.py:78-84 copies its 5 core files)
+    import shutil
+    import dsf_tpu
+    pkg = os.path.dirname(dsf_tpu.__file__)
+    files_dir = os.path.join(run_dir, "files")
+    os.makedirs(files_dir, exist_ok=True)
+    for rel in ("training/phases.py", "training/trainer.py", "config.py",
+                "models/backbone.py", "render/renderer.py",
+                "mano/model.py", "ops/rasterize.py"):
+        src = os.path.join(pkg, rel)
+        if os.path.exists(src):
+            shutil.copyfile(src, os.path.join(files_dir,
+                                              rel.replace("/", "_")))
+
     train_ds, test_ds, synth_iter = _make_datasets(cfg)
     steps = (len(train_ds) // cfg.batch_size if train_ds is not None
              else 1000)
