@@ -70,11 +70,19 @@ def build_synthetic_mano(seed: int = 0) -> dict:
     hands_components = (rng.randn(45, 45) * 0.1).astype(np.float32)
     hands_mean = (rng.randn(45) * 0.05).astype(np.float32)
 
-    # distinct vertex indices per face: degenerate (zero-area) faces are
-    # not present in the real MANO mesh and the Pallas distance kernel
-    # documents non-degeneracy as a precondition
-    faces = np.stack([rng.choice(N_VERTS, 3, replace=False)
-                      for _ in range(N_FACES)]).astype(np.int32)
+    # LOCAL triangles over nearest neighbors: the real MANO mesh's faces
+    # span a few mm each, and spatial culling (the binned rasterizer's
+    # per-tile face lists) depends on that locality — random vertex
+    # triples would make every face cover the whole hand and defeat it.
+    # Distinct indices per face (kNN excludes self), non-degenerate with
+    # probability 1 (random blob positions are never exactly collinear),
+    # matching the Pallas distance kernel's documented precondition.
+    from scipy.spatial import cKDTree
+    nb = cKDTree(v_template).query(v_template, k=6)[1]
+    faces = np.concatenate([
+        np.stack([np.arange(N_VERTS), nb[:, 1], nb[:, 2]], axis=1),
+        np.stack([np.arange(N_VERTS), nb[:, 3], nb[:, 4]], axis=1),
+    ], axis=0)[:N_FACES].astype(np.int32)
     kintree_table = np.stack(
         [PARENTS.astype(np.int64) % (1 << 32), np.arange(N_JOINTS)], axis=0
     ).astype(np.int64)
@@ -96,3 +104,31 @@ def build_synthetic_mano(seed: int = 0) -> dict:
 def save_synthetic_mano(npz_path: str, seed: int = 0):
     np.savez(npz_path, **build_synthetic_mano(seed))
     return npz_path
+
+
+def save_synthetic_mano_pkl(pkl_path: str, seed: int = 0):
+    """Write the same synthetic asset in the ORIGINAL MANO pickle layout
+    (J_regressor as a scipy sparse (16, 778) matrix, float64 fields,
+    kintree_table (2, 16) with the uint32 root marker) so the reference
+    implementation (render_model/mano_layer.py:97-148 loads it with
+    pickle(encoding='latin1')) can consume it for A/B parity tests."""
+    import pickle
+
+    from scipy import sparse
+
+    d = build_synthetic_mano(seed)
+    model = {
+        "v_template": d["v_template"].astype(np.float64),
+        "shapedirs": d["shapedirs"].astype(np.float64),
+        "J_regressor": sparse.csc_matrix(d["J_regressor"].astype(np.float64)),
+        "hands_components": d["hands_components"].astype(np.float64),
+        "hands_mean": d["hands_mean"].astype(np.float64),
+        "posedirs": d["posedirs"].astype(np.float64),
+        "kintree_table": d["kintree_table"].astype(np.int64),
+        "weights": d["weights"].astype(np.float64),
+        "f": d["f"].astype(np.int64),
+    }
+    model["kintree_table"][0, 0] = 4294967295
+    with open(pkl_path, "wb") as f:
+        pickle.dump(model, f, protocol=2)
+    return pkl_path
