@@ -11,9 +11,19 @@ would pad its minor dim to 128 lanes and blow VMEM), faces on sublanes.
 Grid: one program per batch element; the kernel loops pixel tiles x
 face chunks evaluating three edge functions + the depth line on
 (FC, TILE) blocks, reducing min/argmin over the face (sublane) axis.
+
+Dead end, measured and removed: evaluating the 4 linear functions as
+K=8 MXU dots (dot((FC,8) coeff slices, (8,TILE) [u;v;1;0..])) is WRONG
+at Mosaic's default dot precision (bf16 passes flip edge signs up to 1%
+of pixels -> full-depth zbuf errors) and 3.6x SLOWER at
+Precision.HIGHEST (6-pass f32: 32.8ms vs 9.9ms scan at B=32/128^2/
+1554f).  Coverage tests need exact f32 edge arithmetic; keep them on
+the VPU.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -25,37 +35,37 @@ TILE = 1024          # pixels per inner tile (lane axis)
 FACE_CHUNK = 256     # faces per inner step (sublane axis)
 
 
-def _kernel(pix_ref, ke_ref, zbuf_ref, idx_ref):
+def _kernel_impl(tile, face_chunk_n, pix_ref, ke_ref, zbuf_ref, idx_ref):
     """pix (1, 2, P); ke (1, Fp, 16): per-face rows
     [a0 b0 c0 a1 b1 c1 a2 b2 c2 az bz cz 0 0 0 0]; out (1, 1, P)."""
     P = pix_ref.shape[2]
     Fp = ke_ref.shape[1]
-    n_face_chunks = Fp // FACE_CHUNK
-    n_pix_tiles = P // TILE
+    n_face_chunks = Fp // face_chunk_n
+    n_pix_tiles = P // tile
 
     def pix_tile(ti, _):
-        sl = pl.ds(ti * TILE, TILE)
-        u = pix_ref[0, 0:1, sl]                  # (1, TILE)
+        sl = pl.ds(ti * tile, tile)
+        u = pix_ref[0, 0:1, sl]                  # (1, tile)
         v = pix_ref[0, 1:2, sl]
 
         def face_chunk(ci, carry):
             zmin, imin = carry
-            s = ci * FACE_CHUNK
-            ke = ke_ref[0, pl.ds(s, FACE_CHUNK), :]       # (FC, 16)
-            e0 = ke[:, 0:1] * u + ke[:, 1:2] * v + ke[:, 2:3]   # (FC, TILE)
+            s = ci * face_chunk_n
+            ke = ke_ref[0, pl.ds(s, face_chunk_n), :]     # (FC, 16)
+            e0 = ke[:, 0:1] * u + ke[:, 1:2] * v + ke[:, 2:3]   # (FC, tile)
             e1 = ke[:, 3:4] * u + ke[:, 4:5] * v + ke[:, 5:6]
             e2 = ke[:, 6:7] * u + ke[:, 7:8] * v + ke[:, 8:9]
             z = ke[:, 9:10] * u + ke[:, 10:11] * v + ke[:, 11:12]
             hit = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (z > 0)
             z = jnp.where(hit, z, _INF)
-            cmin = jnp.min(z, axis=0, keepdims=True)      # (1, TILE)
+            cmin = jnp.min(z, axis=0, keepdims=True)      # (1, tile)
             carg = jnp.argmin(z, axis=0).reshape(1, -1).astype(jnp.int32) + s
             better = cmin < zmin
             return (jnp.where(better, cmin, zmin),
                     jnp.where(better, carg, imin))
 
-        zmin0 = jnp.full((1, TILE), _INF, jnp.float32)
-        imin0 = jnp.full((1, TILE), -1, jnp.int32)
+        zmin0 = jnp.full((1, tile), _INF, jnp.float32)
+        imin0 = jnp.full((1, tile), -1, jnp.int32)
         zmin, imin = jax.lax.fori_loop(0, n_face_chunks, face_chunk,
                                        (zmin0, imin0))
         bg = zmin >= _INF
@@ -64,6 +74,55 @@ def _kernel(pix_ref, ke_ref, zbuf_ref, idx_ref):
         return 0
 
     jax.lax.fori_loop(0, n_pix_tiles, pix_tile, 0)
+
+
+_kernel = functools.partial(_kernel_impl, TILE, FACE_CHUNK)
+
+
+TILES_PER_PROGRAM = 8
+
+
+def raster_pallas_tiles(pix_tiles, ke_tiles, tsq, cap):
+    """Binned raster: pix_tiles (B, 2, G*tsq) tile-major pixel positions;
+    ke_tiles (B, G*cap, 16) tile-major per-tile face-coefficient rows
+    (disabled rows via c0=-inf).  Grid = (B, G/TPB) with TPB tiles per
+    program: whole-image ke blocks lane-pad 16 -> 128 and blow the 16MB
+    VMEM budget, while one-tile programs drown in dispatch overhead
+    (measured ~6us x 2048); 8 tiles/program keeps blocks ~2MB and
+    dispatch ~256 programs.  Returns (zbuf (B, G*tsq), idx (B, G*tsq));
+    idx local to each tile's cap-row list (-1 = background)."""
+    B, _, P = pix_tiles.shape
+    G = P // tsq
+    assert tsq % 128 == 0 and cap % 128 == 0, (tsq, cap)
+    tpb = TILES_PER_PROGRAM
+    while G % tpb:
+        tpb //= 2
+    fc = min(FACE_CHUNK, cap)
+    kernel = functools.partial(_kernel_binned, tsq, cap, fc)
+    ngp = G // tpb
+    zbuf, idx = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B * ngp, 1, tpb * tsq),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((B * ngp, 1, tpb * tsq),
+                                        jnp.int32)),
+        grid=(B, ngp),
+        in_specs=[
+            pl.BlockSpec((1, 2, tpb * tsq), lambda i, g: (i, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tpb * cap, 16), lambda i, g: (i, g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, tpb * tsq),
+                         lambda i, g, _n=ngp: (i * _n + g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tpb * tsq),
+                         lambda i, g, _n=ngp: (i * _n + g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(pix_tiles.astype(jnp.float32), ke_tiles.astype(jnp.float32))
+    return zbuf.reshape(B, P), idx.reshape(B, P)
 
 
 def raster_pallas(proj, pix_uv, faces):

@@ -123,6 +123,52 @@ BACKFACE_CULL_SIGN = 0
 CULL_KEEP_FRAC = 0.75
 
 
+def _scan_minz(a, b, c, az, bz, cz, valid, pix_uv, chunk=_FACE_CHUNK):
+    """Masked depth-min scan: linear edge/depth coeffs (N, F[, 3]) vs
+    pixel positions (N, P, 2) -> (zmin (N, P), local argmin (N, P)).
+    Scans over F in chunks so the (P x F) tensor never materializes."""
+    N, P = pix_uv.shape[0], pix_uv.shape[1]
+
+    def padf(x):
+        return _pad_to_multiple(x, 1, chunk, 0.0)
+
+    a, b, c = padf(a), padf(b), padf(c)
+    az, bz, cz = padf(az), padf(bz), padf(cz)
+    valid = _pad_to_multiple(valid, 1, chunk, False)
+    Fp = az.shape[1]
+    nc = Fp // chunk
+
+    def reshape_chunks(x):
+        return jnp.moveaxis(x.reshape(N, nc, chunk, *x.shape[2:]), 1, 0)
+
+    xs = tuple(reshape_chunks(x) for x in (a, b, c, az, bz, cz, valid))
+
+    u = pix_uv[..., 0:1]                        # (N, P, 1)
+    v = pix_uv[..., 1:2]
+
+    def body(carry, ch):
+        zmin, idx, offset = carry
+        ca, cb, cc, caz, cbz, ccz, cval = ch     # (N, Fc, ...)
+        e0 = (u * ca[:, None, :, 0] + v * cb[:, None, :, 0] + cc[:, None, :, 0])
+        e1 = (u * ca[:, None, :, 1] + v * cb[:, None, :, 1] + cc[:, None, :, 1])
+        e2 = (u * ca[:, None, :, 2] + v * cb[:, None, :, 2] + cc[:, None, :, 2])
+        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & cval[:, None, :]
+        z = u * caz[:, None, :] + v * cbz[:, None, :] + ccz[:, None, :]
+        z = jnp.where(inside & (z > 0), z, _INF)
+        cmin = jnp.min(z, axis=-1)              # (N, P)
+        carg = jnp.argmin(z, axis=-1) + offset
+        better = cmin < zmin
+        return (jnp.where(better, cmin, zmin),
+                jnp.where(better, carg, idx),
+                offset + chunk), None
+
+    init = (jnp.full((N, P), _INF, pix_uv.dtype),
+            jnp.full((N, P), -1, jnp.int32),
+            jnp.int32(0))
+    (zmin, idx, _), _ = jax.lax.scan(body, init, xs)
+    return zmin, idx
+
+
 def _raster_scan(proj, pix_uv, faces, cull_sign=None):
     """XLA fallback: scan over face chunks, carry running (zmin, argmin).
 
@@ -130,7 +176,7 @@ def _raster_scan(proj, pix_uv, faces, cull_sign=None):
     """
     if cull_sign is None:
         cull_sign = BACKFACE_CULL_SIGN
-    B, P = pix_uv.shape[0], pix_uv.shape[1]
+    B = pix_uv.shape[0]
     a, b, c, az, bz, cz, valid, sgn = _face_coeffs(proj, faces)
     F = faces.shape[0]
 
@@ -152,45 +198,7 @@ def _raster_scan(proj, pix_uv, faces, cull_sign=None):
         az, bz, cz = takef(az), takef(bz), takef(cz)
         valid = jnp.take_along_axis(front, face_map, axis=1)
 
-    # pad faces to a chunk multiple with degenerate faces
-    def padf(x):
-        return _pad_to_multiple(x, 1, _FACE_CHUNK, 0.0)
-
-    a, b, c = padf(a), padf(b), padf(c)
-    az, bz, cz = padf(az), padf(bz), padf(cz)
-    valid = _pad_to_multiple(valid, 1, _FACE_CHUNK, False)
-    Fp = az.shape[1]
-    nc = Fp // _FACE_CHUNK
-
-    def reshape_chunks(x):
-        return jnp.moveaxis(
-            x.reshape(B, nc, _FACE_CHUNK, *x.shape[2:]), 1, 0)
-
-    xs = tuple(reshape_chunks(x) for x in (a, b, c, az, bz, cz, valid))
-
-    u = pix_uv[..., 0:1]                        # (B, P, 1)
-    v = pix_uv[..., 1:2]
-
-    def body(carry, chunk):
-        zmin, idx, offset = carry
-        ca, cb, cc, caz, cbz, ccz, cval = chunk  # (B, Fc, ...)
-        e0 = (u * ca[:, None, :, 0] + v * cb[:, None, :, 0] + cc[:, None, :, 0])
-        e1 = (u * ca[:, None, :, 1] + v * cb[:, None, :, 1] + cc[:, None, :, 1])
-        e2 = (u * ca[:, None, :, 2] + v * cb[:, None, :, 2] + cc[:, None, :, 2])
-        inside = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & cval[:, None, :]
-        z = u * caz[:, None, :] + v * cbz[:, None, :] + ccz[:, None, :]
-        z = jnp.where(inside & (z > 0), z, _INF)
-        cmin = jnp.min(z, axis=-1)              # (B, P)
-        carg = jnp.argmin(z, axis=-1) + offset
-        better = cmin < zmin
-        return (jnp.where(better, cmin, zmin),
-                jnp.where(better, carg, idx),
-                offset + _FACE_CHUNK), None
-
-    init = (jnp.full((B, P), _INF, proj.dtype),
-            jnp.full((B, P), -1, jnp.int32),
-            jnp.int32(0))
-    (zmin, idx, _), _ = jax.lax.scan(body, init, xs)
+    zmin, idx = _scan_minz(a, b, c, az, bz, cz, valid, pix_uv)
     zbuf = jnp.where(zmin >= _INF, 0.0, zmin)   # background -> 0 (ref maps
     hit = zmin < _INF                           # zbuf<=0 to 0 right after)
     if face_map is not None:
@@ -199,6 +207,117 @@ def _raster_scan(proj, pix_uv, faces, cull_sign=None):
         idx = jnp.take_along_axis(face_map, safe, axis=1)
     idx = jnp.where(hit & (idx < F) & (idx >= 0), idx, -1)
     return zbuf, idx
+
+
+# Tile-binned forward: the classic binned-raster work reduction.  Each
+# TILE x TILE pixel block only tests the faces whose projected bbox
+# intersects the block's bbox (derived from the actual sample positions,
+# so any crop matrix works); bin selection is a cheap top_k (~0.02ms
+# measured).  Faces are capped at BIN_CAP per tile; a tile exceeding the
+# cap flips a scalar overflow flag and lax.cond falls back to the dense
+# scan for the whole call — binned is an optimization, the result is
+# ALWAYS exact (pytorch3d's binned rasterizer, by contrast, silently
+# truncates at max_faces_per_bin).
+#
+# MEASURED at MANO scale (v5e, B=32, 128^2 crops, 1554 faces, bins
+# mean 38 / p99 297 faces at t=16): dense scan 8.9ms; binned-XLA
+# 9.1-22ms (the work saving is lost to unfused gathered-coefficient
+# intermediates); binned-Pallas 14.5ms (small (cap, tsq) blocks pay
+# more Mosaic per-block overhead than they save).  The dense scan stays
+# the production path (renderer._raster_crop passes no tile_hw); the
+# binned machinery is kept — exact and tested — because it wins for
+# face counts >> 1554 (denser meshes, full-frame rasters).
+BIN_TILE = 16        # t*t = 256 pixels = 2 full lane groups
+BIN_CAP = 512        # multiple of 128 (kernel sublane chunking)
+
+
+def _raster_binned(proj, pix_uv, faces, tile_hw):
+    B, P = pix_uv.shape[0], pix_uv.shape[1]
+    H, W = tile_hw
+    assert P == H * W, (P, tile_hw)
+    t = BIN_TILE
+    F = faces.shape[0]
+    if H % t or W % t or F <= BIN_CAP:
+        return _raster_scan(proj, pix_uv, faces)
+    gh, gw = H // t, W // t
+    G = gh * gw
+    cap = BIN_CAP
+
+    a, b, c, az, bz, cz, valid, _ = _face_coeffs(proj, faces)
+
+    # pixel tiles + their bboxes (from the actual sample positions)
+    puv = (pix_uv.reshape(B, gh, t, gw, t, 2)
+           .transpose(0, 1, 3, 2, 4, 5).reshape(B, G, t * t, 2))
+    tmin = puv.min(2)                                  # (B, G, 2)
+    tmax = puv.max(2)
+
+    # face bboxes
+    tri_uv = proj[:, faces][..., :2]                   # (B, F, 3, 2)
+    fmin = tri_uv.min(2)                               # (B, F, 2)
+    fmax = tri_uv.max(2)
+
+    inter = ((fmin[:, None, :, 0] <= tmax[:, :, None, 0])
+             & (fmax[:, None, :, 0] >= tmin[:, :, None, 0])
+             & (fmin[:, None, :, 1] <= tmax[:, :, None, 1])
+             & (fmax[:, None, :, 1] >= tmin[:, :, None, 1])
+             & valid[:, None, :])                      # (B, G, F)
+    overflow = inter.sum(-1).max() > cap
+
+    use_pallas = jax.default_backend() != "cpu"
+
+    def binned(_):
+        score, fid = jax.lax.top_k(inter.astype(jnp.float32), cap)  # (B,G,cap)
+        sel = score > 0.5
+        NG = B * G
+        if use_pallas:
+            from dsf_tpu.ops import pallas_raster as PR
+            ke = PR.face_coeff_rows(proj, faces)       # (B, F, 16)
+            gat = jnp.take_along_axis(ke[:, None], fid[..., None], axis=2)
+            # disable non-selected rows via c0 = -inf (e0 always < 0)
+            gat = gat.at[..., 2].set(
+                jnp.where(sel, gat[..., 2], -_INF))
+            zmin, lidx = PR.raster_pallas_tiles(
+                puv.reshape(B, G * t * t, 2).transpose(0, 2, 1),
+                gat.reshape(B, G * cap, 16), t * t, cap)
+            zmin = zmin.reshape(NG, t * t)
+            lidx = lidx.reshape(NG, t * t)
+            hit = lidx >= 0
+            zbuf = zmin                                # kernel maps bg -> 0
+        else:
+            coeffs = jnp.concatenate(
+                [a, b, c, az[..., None], bz[..., None], cz[..., None]],
+                axis=-1)
+            gat = jnp.take_along_axis(coeffs[:, None], fid[..., None],
+                                      axis=2)          # (B, G, cap, 12)
+            zmin, lidx = _scan_minz(
+                gat[..., 0:3].reshape(NG, cap, 3),
+                gat[..., 3:6].reshape(NG, cap, 3),
+                gat[..., 6:9].reshape(NG, cap, 3),
+                gat[..., 9].reshape(NG, cap),
+                gat[..., 10].reshape(NG, cap),
+                gat[..., 11].reshape(NG, cap),
+                sel.reshape(NG, cap),
+                puv.reshape(NG, t * t, 2),
+                chunk=min(cap, _FACE_CHUNK))
+            hit = zmin < _INF
+            zbuf = jnp.where(hit, zmin, 0.0)
+        safe = jnp.clip(lidx, 0, cap - 1)
+        gidx = jnp.take_along_axis(fid.reshape(NG, cap), safe, axis=1)
+        gidx = jnp.where(hit, gidx, -1)
+
+        def untile(x):
+            return (x.reshape(B, gh, gw, t, t)
+                    .transpose(0, 1, 3, 2, 4).reshape(B, P))
+
+        return untile(zbuf), untile(gidx)
+
+    def dense(_):
+        zmin, idx = _scan_minz(a, b, c, az, bz, cz, valid, pix_uv)
+        zbuf = jnp.where(zmin >= _INF, 0.0, zmin)
+        idx = jnp.where(zmin < _INF, idx, -1)
+        return zbuf, idx
+
+    return jax.lax.cond(overflow, dense, binned, operand=None)
 
 
 def _z_of_tri(tri, uv):
@@ -225,8 +344,11 @@ USE_PALLAS_RASTER = False   # measured on v5e: scan 11.2ms vs pallas
                             # future binned/culled variants
 
 
-def _raster_forward(proj, pix_uv, faces):
-    """Backend dispatch: optionally the Pallas kernel on TPU."""
+def _raster_forward(tile_hw, proj, pix_uv, faces):
+    """Backend dispatch: binned XLA when the tile layout is known,
+    optionally the Pallas kernel on TPU, dense scan otherwise."""
+    if tile_hw is not None:
+        return _raster_binned(proj, pix_uv, faces, tile_hw)
     if USE_PALLAS_RASTER and jax.default_backend() != "cpu":
         try:
             from dsf_tpu.ops.pallas_raster import raster_pallas
@@ -236,18 +358,21 @@ def _raster_forward(proj, pix_uv, faces):
     return _raster_scan(proj, pix_uv, faces)
 
 
-@jax.custom_vjp
-def _raster(proj, pix_uv, faces):
-    zbuf, _ = _raster_forward(proj, pix_uv, faces)
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _raster(tile_hw, proj, pix_uv, faces):
+    zbuf, _ = _raster_forward(tile_hw, proj, pix_uv, faces)
     return zbuf
 
 
-def _raster_fwd(proj, pix_uv, faces):
-    zbuf, idx = _raster_forward(proj, pix_uv, faces)
+def _raster_fwd(tile_hw, proj, pix_uv, faces):
+    zbuf, idx = _raster_forward(tile_hw, proj, pix_uv, faces)
     return zbuf, (proj, pix_uv, faces, idx)
 
 
-def _raster_bwd(res, g):
+def _raster_bwd(tile_hw, res, g):
     """Backward via per-face MOMENTS.
 
     For a fixed face, the interpolated depth z(u, v) = (az u + bz v +
@@ -302,21 +427,26 @@ def _raster_bwd(res, g):
 _raster.defvjp(_raster_fwd, _raster_bwd)
 
 
-def rasterize_depth(verts, faces, pix_uv, paras, flip=1.0, return_idx=False):
+def rasterize_depth(verts, faces, pix_uv, paras, flip=1.0, return_idx=False,
+                    tile_hw=None):
     """Rasterize (B, V, 3) world-mm verts into depth at sample positions.
 
     pix_uv: (B, P, 2) or (P, 2) continuous full-frame pixel positions
-    (see crop_pixel_rays / full_frame_pixel_rays).
-    Returns zbuf (B, P): depth in mm of the nearest face along each ray,
-    0 where no face covers the pixel.  Differentiable wrt ``verts`` with
-    the hard (blur=0, fpp=1) gradient through the hit face only.
+    (see crop_pixel_rays / full_frame_pixel_rays).  tile_hw: (H, W) pixel
+    layout of pix_uv (row-major), which enables the exact tile-binned
+    fast path.  Returns zbuf (B, P): depth in mm of the nearest face
+    along each ray, 0 where no face covers the pixel.  Differentiable
+    wrt ``verts`` with the hard (blur=0, fpp=1) gradient through the hit
+    face only.
     """
     proj = project_verts(verts, paras, flip)
     if pix_uv.ndim == 2:
         pix_uv = jnp.broadcast_to(pix_uv, (verts.shape[0],) + pix_uv.shape)
     if return_idx:
+        if tile_hw is not None:
+            return _raster_binned(proj, pix_uv, faces, tile_hw)
         return _raster_scan(proj, pix_uv, faces)
-    return _raster(proj, pix_uv, faces)
+    return _raster(tile_hw, proj, pix_uv, faces)
 
 
 # ---------------------------------------------------------------------------

@@ -196,3 +196,70 @@ def test_backface_culling_exact_on_closed_mesh():
     np.testing.assert_array_equal(np.asarray(i_full), np.asarray(i_cull))
     z_wrong, _ = R._raster_scan(proj, pix, jnp.asarray(f), cull_sign=-1)
     assert float(jnp.abs(z_full - z_wrong).max()) > 1.0
+
+
+def test_binned_raster_matches_dense():
+    """Tile-binned forward must be bit-identical to the dense scan on a
+    hand-scale mesh, including argmin ids and gradients."""
+    import jax
+    from dsf_tpu.mano import model as mano_model, synthetic
+    import os, tempfile
+    npz = os.path.join(tempfile.gettempdir(), "raster_bin_mano.npz")
+    if not os.path.exists(npz):
+        synthetic.save_synthetic_mano(npz)
+    m = mano_model.load_model(npz)
+    rng = np.random.RandomState(5)
+    B = 3
+    rot = jnp.asarray(rng.uniform(-1, 1, (B, 3)).astype(np.float32))
+    theta = jnp.asarray(rng.randn(B, 45).astype(np.float32) * 0.5)
+    beta = jnp.asarray(rng.randn(B, 10).astype(np.float32))
+    cam = jnp.asarray(np.concatenate(
+        [np.ones((B, 1)), np.zeros((B, 3))], 1).astype(np.float32))
+    from dsf_tpu.mano.model import get_mano_vertices
+    verts, joints = get_mano_vertices(m, rot, theta, beta, cam)
+    center = jnp.asarray([[0., 0., 750.]] * B)
+    verts = verts - joints.mean(1, keepdims=True) + center[:, None]
+    paras = (588.03, 587.07, 320.0, 240.0)
+    cube = jnp.full((B, 3), 250.0)
+    from dsf_tpu import geometry as geo
+    com = geo.xyz_to_uvd(center, paras)
+    M = geo.crop_matrix(com, cube, paras, (128, 128))
+    rays = R.crop_pixel_rays(M, (128, 128))
+
+    z_dense, i_dense = R.rasterize_depth(verts, m.faces, rays, paras,
+                                           return_idx=True)
+    z_bin, i_bin = R.rasterize_depth(verts, m.faces, rays, paras,
+                                       return_idx=True, tile_hw=(128, 128))
+    np.testing.assert_array_equal(np.asarray(i_bin), np.asarray(i_dense))
+    np.testing.assert_allclose(np.asarray(z_bin), np.asarray(z_dense),
+                               rtol=0, atol=1e-5)
+
+    g_dense = jax.grad(lambda v: R.rasterize_depth(
+        v, m.faces, rays, paras).sum())(verts)
+    g_bin = jax.grad(lambda v: R.rasterize_depth(
+        v, m.faces, rays, paras, tile_hw=(128, 128)).sum())(verts)
+    np.testing.assert_allclose(np.asarray(g_bin), np.asarray(g_dense),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_binned_raster_overflow_falls_back_exactly():
+    """A mesh covering nearly the whole crop (faces in every tile)
+    overflows the bin cap; the cond fallback must keep results exact."""
+    rng = np.random.RandomState(6)
+    B, V, F = 2, 60, 640
+    # huge triangles spanning the full frame -> every tile intersects
+    verts = jnp.asarray(
+        (rng.rand(B, V, 3) * [600, 440, 200] + [20, 20, 650])
+        .astype(np.float32))
+    faces = jnp.asarray(np.stack(
+        [rng.choice(V, 3, replace=False) for _ in range(F)]).astype(np.int32))
+    paras = (588.03, 587.07, 320.0, 240.0)
+    pix = R.full_frame_pixel_rays((64, 64))
+    pix = jnp.broadcast_to(pix, (B,) + pix.shape)
+    z_dense, i_dense = R.rasterize_depth(verts, faces, pix, paras,
+                                           return_idx=True)
+    z_bin, i_bin = R.rasterize_depth(verts, faces, pix, paras,
+                                       return_idx=True, tile_hw=(64, 64))
+    np.testing.assert_array_equal(np.asarray(i_bin), np.asarray(i_dense))
+    np.testing.assert_allclose(np.asarray(z_bin), np.asarray(z_dense),
+                               rtol=0, atol=1e-5)
