@@ -110,10 +110,12 @@ def _mean_smallest_k(d, k):
     return jnp.mean(-neg_topk, axis=-1)
 
 
-def collision_loss(model, joints, mesh):
+def collision_loss(model, joints, mesh, keep_batch=False):
     """Mean sphere-pair penetration, gated per batch element
     (ref: calculate_coll, mano_layer.py:373-386): samples already
-    colliding beyond 0.1 total are zeroed (don't chase lost causes)."""
+    colliding beyond 0.1 total are zeroed (don't chase lost causes).
+    keep_batch: return the per-sample mean (B,) instead of the scalar
+    (mean of the per-sample means equals the scalar for fixed B)."""
     c = sphere_centers(joints)
     r = sphere_radii(model, joints, mesh)
     diff = c[:, :, None, :] - c[:, None, :, :]
@@ -122,6 +124,8 @@ def collision_loss(model, joints, mesh):
     err = jnp.maximum(pair_r - dis, 0.0) * jnp.asarray(COLLISION_MASK)
     gate = (err.sum((-1, -2), keepdims=True) < 0.1).astype(err.dtype)
     err = err * gate
+    if keep_batch:
+        return err.sum(-1).mean(-1)
     return jnp.mean(err.sum(-1))
 
 

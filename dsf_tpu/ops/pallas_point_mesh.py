@@ -41,9 +41,12 @@ FACE_CHUNK = 128     # faces per inner step
 _EPS = 1e-12
 
 
+MASK_W = 32          # one-hot width for the part table (<=31 parts)
+
+
 def _kernel(masked, p_ref, fc_ref, oh_ref, pm_ref, dmin_ref, imin_ref):
-    """p (1, P, 4) = [x y z p.p]; fc (1, 16, Tp); oh (1, P, 16) one-hot;
-    pm (16, Tp) face-part table; out dmin/imin (1, 1, P)."""
+    """p (1, P, 4) = [x y z p.p]; fc (1, 16, Tp); oh (1, P, MASK_W)
+    one-hot; pm (MASK_W, Tp) face-part table; out dmin/imin (1, 1, P)."""
     P = p_ref.shape[1]
     Tp = fc_ref.shape[2]
     n_pt = P // TILE
@@ -56,7 +59,7 @@ def _kernel(masked, p_ref, fc_ref, oh_ref, pm_ref, dmin_ref, imin_ref):
         pz = p_ref[0, sl, 2:3]
         pp = p_ref[0, sl, 3:4]
         if masked:
-            oh = oh_ref[0, sl, :]               # (TILE, 16)
+            oh = oh_ref[0, sl, :]               # (TILE, MASK_W)
 
         def face_chunk(ci, carry):
             dmin, imin = carry
@@ -190,19 +193,19 @@ def argmin_faces_pallas(points, tris, part_mask=None, point_part=None):
     masked = part_mask is not None
     if masked:
         K = part_mask.shape[1]
-        assert K <= 15, "at most 15 parts supported"
+        assert K <= MASK_W - 1, f"at most {MASK_W - 1} parts supported"
         ext = jnp.concatenate(
             [part_mask.astype(jnp.float32),
-             jnp.zeros((T, 16 - K), jnp.float32)], axis=1)   # (T, 16)
-        pm = jnp.pad(ext, ((0, pad_f), (0, 0))).T            # (16, Tp)
+             jnp.zeros((T, MASK_W - K), jnp.float32)], axis=1)  # (T, MASK_W)
+        pm = jnp.pad(ext, ((0, pad_f), (0, 0))).T            # (MASK_W, Tp)
         ppart = jnp.where((point_part >= 0) & (point_part < K),
                           point_part, K).astype(jnp.int32)
-        oh = jax.nn.one_hot(ppart, 16, dtype=jnp.float32)    # (B, P, 16)
+        oh = jax.nn.one_hot(ppart, MASK_W, dtype=jnp.float32)
         if pad_p:
             oh = jnp.pad(oh, ((0, 0), (0, pad_p), (0, 0)))
     else:
-        pm = jnp.zeros((16, Tp), jnp.float32)
-        oh = jnp.zeros((B, 1, 16), jnp.float32)              # dummy
+        pm = jnp.zeros((MASK_W, Tp), jnp.float32)
+        oh = jnp.zeros((B, 1, MASK_W), jnp.float32)          # dummy
 
     oh_P = oh.shape[1]
     kernel = functools.partial(_kernel, masked)
@@ -216,9 +219,9 @@ def argmin_faces_pallas(points, tris, part_mask=None, point_part=None):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, Tp), lambda bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, oh_P, 16), lambda bi: (bi, 0, 0),
+            pl.BlockSpec((1, oh_P, MASK_W), lambda bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, Tp), lambda bi: (0, 0),
+            pl.BlockSpec((MASK_W, Tp), lambda bi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

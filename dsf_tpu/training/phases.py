@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from dsf_tpu import geometry as geo
 from dsf_tpu.losses.basic import smooth_l1
-from dsf_tpu.losses.icp import icp_loss, joint_icp_loss
+from dsf_tpu.losses.icp import icp_and_joint_icp, icp_loss, joint_icp_loss
 from dsf_tpu.mano import spheres as sph
 from dsf_tpu.ops import cloud
 from dsf_tpu.ops.offset_codec import joint2offset, offset2joint_softmax
@@ -33,16 +33,31 @@ from dsf_tpu.render import renderer as rnd
 # small helpers
 # ---------------------------------------------------------------------------
 
-def xyz2error_mm(pd_nl, gt_nl, center, cube, keep_batch=False, keep_joint=False):
+def xyz2error_mm(pd_nl, gt_nl, center, cube, keep_batch=False,
+                 keep_joint=False, dataset=None):
     """Mean 3D error in mm between normalized predictions and GT
-    (ref: Trainer.xyz2error, train_render.py:826-864, jnp version)."""
+    (ref: Trainer.xyz2error, train_render.py:826-864, jnp version).
+
+    Dataset semantics preserved from the reference: ICVL subtracts a
+    per-joint z bias from the prediction (ref :841-843; its (1,16) bias
+    only broadcasts when J==16 — we take bias[:J] so the sliced 15-joint
+    eval path also works); MSRA's scalar mean skips the wrist joint
+    (ref :852-854)."""
     pd = pd_nl * cube[:, None] / 2.0 + center[:, None]
     gt = gt_nl * cube[:, None] / 2.0 + center[:, None]
+    if dataset == "icvl":
+        from dsf_tpu.mano.constants import ICVL_Z_BIAS
+        J = pd.shape[1]
+        bias = jnp.zeros((J,), pd.dtype).at[: min(J, 16)].set(
+            jnp.asarray(ICVL_Z_BIAS, pd.dtype)[: min(J, 16)])
+        pd = pd.at[:, :, 2].add(-bias[None, :])
     err = jnp.sqrt(jnp.sum((pd - gt) ** 2, axis=-1) + 1e-12)
     if keep_joint:
         return err
     if keep_batch:
         return err.mean(-1)
+    if dataset == "msra":
+        return err[:, 1:].mean()
     return err.mean()
 
 
@@ -269,10 +284,10 @@ def finetune_loss(apply_fn, variables, key, model_para, cube,
 
     m2d_b = _m2d(crop_img, mano_img_crop, masked_numerator=False)
     m2d = m2d_b.mean()
-    pd2m_joint = joint_icp_loss(mesh_r, joint_pcl, r.mano.faces,
-                                r.mano.joint_face_mask, seg)
+    d2m_b, pd2m_joint = icp_and_joint_icp(mesh_r, pcl, joint_pcl,
+                                          r.mano.faces,
+                                          r.mano.joint_face_mask, seg)
     pd2m = pd2m_joint.mean()
-    d2m_b = icp_loss(mesh_r, pcl, r.mano.faces)
     d2m = d2m_b.mean()
 
     p2m = smooth_l1(mano_juvd_r, jax.lax.stop_gradient(juvd_r)) * cfg.coord_weight
@@ -290,9 +305,11 @@ def finetune_loss(apply_fn, variables, key, model_para, cube,
 
     nt = len(transfer_map)
     err_pix = xyz2error_mm(_transfer_slice(jxyz_r, transfer_map)[:, :nt],
-                           xyz_gt_r[:, :nt], center_r, cube_r)
+                           xyz_gt_r[:, :nt], center_r, cube_r,
+                           dataset=cfg.dataset)
     err_mano = xyz2error_mm(_transfer_slice(mano_jxyz_r, transfer_map)[:, :nt],
-                            xyz_gt_r[:, :nt], center_r, cube_r)
+                            xyz_gt_r[:, :nt], center_r, cube_r,
+                            dataset=cfg.dataset)
     metrics = {"pixel_error": err_pix, "mano_error": err_mano,
                "m2d": m2d, "pd2m": pd2m, "P2M": p2m, "coll": coll,
                "M2P": m2p, "d2m": d2m}
@@ -315,9 +332,21 @@ def finetune_stage_loss(apply_fn, variables, key, model_para, cube,
                         img_r, center_r, cube_r, M_r, xyz_gt_r, *,
                         r: rnd.Renderer, transfer_fn, cfg, transfer_map,
                         train: bool = True):
+    """Two-stage phase with stage-2 as teacher (ref :622-823).
+
+    TPU restructure: the two stages' loss tensors are STACKED
+    stage-major along batch, so every per-stage loss op (codec decode,
+    MANO LBS, collision, crop_hand, m2d, the ICP family) runs ONCE at 2B
+    instead of twice at B — identical numerics (each scalar is reduced
+    from its stage's slice exactly as before), half the kernel launches,
+    and the fused icp_and_joint_icp does one nearest-face pass for all
+    four (stage x cloud) combinations."""
     B = model_para.shape[0]
     k_aug, k_prep, _ = jax.random.split(key, 3)
     aug_shape, aug_center, aug_size, aug_view, k_synth, _ = _aug_keys(k_aug, B)
+
+    def two(x):
+        return jnp.concatenate([x, x], axis=0)
 
     # ---------------- synth: full supervision on both stages (ref :633-667)
     img, juvd_gt, vuvd_gt, jxyz_gt, vxyz_gt, center_s, cube_s, M_s = \
@@ -330,21 +359,24 @@ def finetune_stage_loss(apply_fn, variables, key, model_para, cube,
                              train)
     loss = 0.0
     metrics = {}
+    pixel_s = jnp.concatenate([outputs[0][0], outputs[1][0]], axis=0)
+    para_s = jnp.concatenate([outputs[0][1], outputs[1][1]], axis=0)
+    fs = pixel_s.shape[-1]
+    # the reference recomputes the identical pixel_gt per stage (:646)
+    pixel_gt = joint2offset(juvd_gt, img, cfg.feature_para[0], fs)
+    juvd_pd_s = offset2joint_softmax(pixel_s, two(img), cfg.feature_para[0])
+    mano_jxyz_s, mesh_s = rnd.get_mesh_xyz(r, para_s)   # one LBS, both stages
+    coll_s = sph.collision_loss(r.mano, mano_jxyz_s,
+                                jax.lax.stop_gradient(mesh_s),
+                                keep_batch=True)
     for idx in range(2):
-        pixel_pd, para_pd = outputs[idx]
-        fs = pixel_pd.shape[-1]
-        pixel_gt = joint2offset(juvd_gt, img, cfg.feature_para[0], fs)
-        juvd_pd = offset2joint_softmax(pixel_pd, img, cfg.feature_para[0])
-        loss += smooth_l1(pixel_pd, pixel_gt) * cfg.deconv_weight
-        loss += smooth_l1(juvd_pd, juvd_gt) * cfg.coord_weight
-
-        mano_jxyz_s, mesh_s = rnd.get_mesh_xyz(r, para_pd)
-        loss += smooth_l1(mano_jxyz_s, jxyz_gt) * cfg.coord_weight
-        loss += smooth_l1(mesh_s, vxyz_gt) * cfg.coord_weight
-        loss += sph.collision_loss(
-            r.mano, mano_jxyz_s,
-            jax.lax.stop_gradient(mesh_s)) * cfg.coll_weight
-        metrics[f"synth_error_{idx}"] = xyz2error_mm(mano_jxyz_s, jxyz_gt,
+        sl = slice(idx * B, (idx + 1) * B)
+        loss += smooth_l1(pixel_s[sl], pixel_gt) * cfg.deconv_weight
+        loss += smooth_l1(juvd_pd_s[sl], juvd_gt) * cfg.coord_weight
+        loss += smooth_l1(mano_jxyz_s[sl], jxyz_gt) * cfg.coord_weight
+        loss += smooth_l1(mesh_s[sl], vxyz_gt) * cfg.coord_weight
+        loss += coll_s[sl].mean() * cfg.coll_weight
+        metrics[f"synth_error_{idx}"] = xyz2error_mm(mano_jxyz_s[sl], jxyz_gt,
                                                      center_s, cube_s)
 
     # ---------------- real: stage-2 is the teacher (ref :670-703)
@@ -352,11 +384,10 @@ def finetune_stage_loss(apply_fn, variables, key, model_para, cube,
     outputs_r, render_s1_real, state2 = _apply(
         apply_fn, vars1, img_r, r, center_r, cube_r, train,
         return_render=True)
-    pixel_t, para_t = outputs_r[1]
-    pixel_t = jax.lax.stop_gradient(pixel_t)
-    para_t = jax.lax.stop_gradient(para_t)
-    juvd_t = offset2joint_softmax(pixel_t, img_r, cfg.feature_para[0])
-    juvd_t = jax.lax.stop_gradient(juvd_t)
+    pixel_t = jax.lax.stop_gradient(outputs_r[1][0])
+    para_t = jax.lax.stop_gradient(outputs_r[1][1])
+    juvd_t = jax.lax.stop_gradient(
+        offset2joint_softmax(pixel_t, img_r, cfg.feature_para[0]))
     jxyz_t = geo.uvd_nl_to_xyz_nl(juvd_t, center_r, M_r, cube_r, r.paras,
                                   cfg.input_size, r.flip)
     mano_jxyz_t, mano_mesh_t = rnd.get_mesh_xyz(r, para_t)
@@ -367,59 +398,71 @@ def finetune_stage_loss(apply_fn, variables, key, model_para, cube,
         r, cfg, k_prep, img_r, center_r, M_r, cube_r,
         jxyz_t, mano_jxyz_t, mano_mesh_t)
 
+    # stage-stacked decode of both real outputs
+    pixel_r2 = jnp.concatenate([outputs_r[0][0], outputs_r[1][0]], axis=0)
+    juvd_r2 = offset2joint_softmax(pixel_r2, two(img_r), cfg.feature_para[0])
+    jxyz_r2 = geo.uvd_nl_to_xyz_nl(juvd_r2, two(center_r), two(M_r),
+                                   two(cube_r), r.paras, cfg.input_size,
+                                   r.flip)
+
+    # stage-1's render is the net's own stage-2 input render (same
+    # params/center/cube — the reference redundantly re-renders, :719);
+    # stage-2's render happens here.  Fallback: batch both in one raster.
+    if render_s1_real is not None:
+        render_s2 = rnd.render_params(r, outputs_r[1][1], center_r, cube_r)
+        rendered = [jnp.concatenate([a, b], axis=0)
+                    for a, b in zip(render_s1_real, render_s2)]
+    else:
+        para_r2 = jnp.concatenate([outputs_r[0][1], outputs_r[1][1]], axis=0)
+        rendered = list(rnd.render_params(r, para_r2, two(center_r),
+                                          two(cube_r)))
+    mano_img_r2, mano_juvd_r2, mano_jxyz_r2, mesh_r2 = rendered
+
+    coll_r2 = sph.collision_loss(r.mano, mano_jxyz_r2,
+                                 jax.lax.stop_gradient(mesh_r2),
+                                 keep_batch=True)
+    mano_img_crop2 = cloud.crop_hand(mano_img_r2, two(mano_jxyz_t),
+                                     two(center_r), two(M_r), two(cube_r),
+                                     r.paras, cfg.input_size, flip=r.flip)
+    m2d_b2 = _m2d(two(crop_img), mano_img_crop2)           # (2B, 1)
+    d2m_b2, pd2m_joint2 = icp_and_joint_icp(
+        mesh_r2, two(pcl), two(joint_pcl), r.mano.faces,
+        r.mano.joint_face_mask, two(seg))
+
     nt = len(transfer_map)
     for idx in range(2):
-        pixel_r, para_r = outputs_r[idx]
-        juvd_r = offset2joint_softmax(pixel_r, img_r, cfg.feature_para[0])
-        jxyz_r = geo.uvd_nl_to_xyz_nl(juvd_r, center_r, M_r, cube_r, r.paras,
-                                      cfg.input_size, r.flip)
+        sl = slice(idx * B, (idx + 1) * B)
+        juvd_r, jxyz_r = juvd_r2[sl], jxyz_r2[sl]
+        mano_juvd_r, mano_jxyz_r = mano_juvd_r2[sl], mano_jxyz_r2[sl]
         metrics[f"pixel_error_{idx}"] = xyz2error_mm(
             _transfer_slice(jxyz_r, transfer_map)[:, :nt],
-            xyz_gt_r[:, :nt], center_r, cube_r)
-
-        if idx == 0 and render_s1_real is not None:
-            # the net's stage-2 input render IS this render (same params,
-            # center, cube) — reuse instead of re-rasterizing
-            mano_img_r, mano_juvd_r, mano_jxyz_r, mesh_r = render_s1_real
-        else:
-            mano_img_r, mano_juvd_r, mano_jxyz_r, mesh_r = rnd.render_params(
-                r, para_r, center_r, cube_r)
+            xyz_gt_r[:, :nt], center_r, cube_r, dataset=cfg.dataset)
         metrics[f"mano_error_{idx}"] = xyz2error_mm(
             _transfer_slice(mano_jxyz_r, transfer_map)[:, :nt],
-            xyz_gt_r[:, :nt], center_r, cube_r)
+            xyz_gt_r[:, :nt], center_r, cube_r, dataset=cfg.dataset)
 
         if idx == 0:
             # stage 1 distills from the stage-2 teacher (ref :706-724)
-            loss += smooth_l1(pixel_r, pixel_t) * cfg.deconv_weight
+            loss += smooth_l1(pixel_r2[sl], pixel_t) * cfg.deconv_weight
             loss += smooth_l1(juvd_r, juvd_t) * cfg.coord_weight
             loss += smooth_l1(mano_jxyz_r, jxyz_t) * cfg.coord_weight
-            loss += smooth_l1(mesh_r, mano_mesh_t) * cfg.coord_weight
+            loss += smooth_l1(mesh_r2[sl], mano_mesh_t) * cfg.coord_weight
         else:
             # stage-2 P2M against the (detached) teacher pixels (ref :766)
             loss += smooth_l1(mano_juvd_r, juvd_t) * cfg.coord_weight
 
-        coll = sph.collision_loss(r.mano, mano_jxyz_r,
-                                  jax.lax.stop_gradient(mesh_r))
+        coll = coll_r2[sl].mean()
         loss += coll * cfg.coll_weight
-
-        mano_img_crop = cloud.crop_hand(mano_img_r, mano_jxyz_t, center_r,
-                                        M_r, cube_r, r.paras, cfg.input_size,
-                                        flip=r.flip)
-        m2d_b = _m2d(crop_img, mano_img_crop)
-        m2d = m2d_b.mean() * 0.1
+        m2d = m2d_b2[sl].mean() * 0.1
         loss += m2d * cfg.model_weight
-
-        pd2m_joint = joint_icp_loss(mesh_r, joint_pcl, r.mano.faces,
-                                    r.mano.joint_face_mask, seg)
-        pd2m = pd2m_joint.mean()
+        pd2m = pd2m_joint2[sl].mean()
         loss += pd2m * cfg.partICP_weight
-
-        d2m_b = icp_loss(mesh_r, pcl, r.mano.faces)
-        d2m = d2m_b.mean()
+        d2m = d2m_b2[sl].mean()
         loss += d2m * cfg.model_weight
 
         if idx == 1:
-            m2p_mask = _m2p_mask(crop_img, mano_img_crop, d2m_b, pd2m_joint)
+            m2p_mask = _m2p_mask(crop_img, mano_img_crop2[sl], d2m_b2[sl],
+                                 pd2m_joint2[sl])
             m2p = _masked_select_sl1(
                 juvd_r, jax.lax.stop_gradient(mano_juvd_r),
                 jax.lax.stop_gradient(m2p_mask)) * cfg.coord_weight

@@ -213,3 +213,30 @@ def test_seg_pcl_assigns_nearest_bone():
     # point near bone joint2->3 should land in bone 2 (id 2); near-wrist -> 0
     assert seg[0, 0] in (1, 2, 3)
     assert seg[0, 1] == 0
+
+
+def test_icp_and_joint_icp_matches_separate_calls():
+    """The fused single-pass ICP must equal icp_loss + joint_icp_loss."""
+    import jax.numpy as jnp
+    from dsf_tpu.losses.icp import (icp_and_joint_icp, icp_loss,
+                                    joint_icp_loss)
+    rng = np.random.RandomState(17)
+    B, P, V, T = 3, 256, 64, 48
+    mesh = jnp.asarray(rng.randn(B, V, 3).astype(np.float32))
+    pcl = jnp.asarray(rng.randn(B, P, 3).astype(np.float32))
+    joint_pcl = jnp.asarray(rng.randn(B, P, 3).astype(np.float32))
+    faces = jnp.asarray(
+        np.stack([rng.choice(V, 3, replace=False) for _ in range(T)])
+        .astype(np.int32))
+    mask = jnp.asarray(rng.rand(T, 15) > 0.5)
+    # ensure every part admits at least one face
+    mask = mask.at[0].set(True)
+    seg = jnp.asarray(rng.randint(0, 17, (B, P)).astype(np.int32))
+
+    d2m_ref = icp_loss(mesh, pcl, faces)
+    pd2m_ref = joint_icp_loss(mesh, joint_pcl, faces, mask, seg)
+    d2m, pd2m = icp_and_joint_icp(mesh, pcl, joint_pcl, faces, mask, seg)
+    np.testing.assert_allclose(np.asarray(d2m), np.asarray(d2m_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pd2m), np.asarray(pd2m_ref),
+                               rtol=1e-5, atol=1e-6)
