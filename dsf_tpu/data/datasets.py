@@ -462,13 +462,157 @@ class NYUCCSSLDataset(NYUDataset):
         return out
 
 
-class DHGDataset(SHRECDataset):
-    """DHG 14/28 gesture sequences (ref: DHG_loader,
-    render_loader.py:2964-3075) — same frame/prediction layout as SHREC
-    with the DHG directory structure (gesture/finger/subject/essai)."""
+def read_dhg_sequences(root_dir):
+    """Parse the DHG 14/28 layout (ref: DHG_loader.read_joints,
+    render_loader.py:3026-3051): `informations_troncage_sequences.txt`
+    rows `gesture finger subject essai start end` index into
+    gesture_{g}/finger_{f}/subject_{s}/essai_{e}/ sequence dirs.  The
+    gesture id (1..14) and finger id (1..2) together give the 14- and
+    28-class labels used by the downstream DG-STA benchmark.
 
-    def __init__(self, root_dir, **kw):
-        super().__init__(root_dir, **kw)
+    Returns a list of dicts: {dir, gesture, finger, subject, essai,
+    start, end}."""
+    import re as _re
+    info = os.path.join(root_dir, "informations_troncage_sequences.txt")
+    seqs = []
+    splitter = _re.compile(r"[ \t\n\r]+")
+    with open(info) as f:
+        for line in f:
+            parts = [p for p in splitter.split(line) if p]
+            if len(parts) < 6:
+                continue
+            g, fi, s, e, start, end = parts[:6]
+            seqs.append({
+                "dir": os.path.join(
+                    root_dir, f"gesture_{g}", f"finger_{fi}",
+                    f"subject_{s}", f"essai_{e}"),
+                "gesture": int(g), "finger": int(fi), "subject": int(s),
+                "essai": int(e), "start": int(start), "end": int(end),
+            })
+    return seqs
+
+
+class DHGDataset(BaseDataset):
+    """DHG 14/28 gesture sequences (ref: DHG_loader,
+    render_loader.py:2964-3075).
+
+    Unlike SHREC's os.walk layout, DHG is indexed by
+    `informations_troncage_sequences.txt` (gesture/finger/subject/essai +
+    start/end frame truncation); joints come from previously exported
+    predictions (`skeletons_world_pred*.txt`, one row per truncated
+    frame), centers are the uv-mean of `skeleton_image.txt` + the
+    xyz-mean depth x1000, and both the depth image and the center u are
+    LEFT-RIGHT FLIPPED (ref :2979, 2988)."""
+
+    def __init__(self, root_dir, img_size=128, cube_size=(250, 250, 250),
+                 aug_para=(10, 0.1, 180), seed=0,
+                 pred_file="skeletons_world_pred_normal_DSSF.txt",
+                 augment=False):
+        self.paras = (463.889, 463.889, 320.0, 240.0)
+        self.ori_img_size = (640, 480)
+        self.flip = 1.0
+        self.phase = "train"
+        self.img_size = img_size
+        self.cube_size = np.asarray(cube_size, np.float32)
+        self.aug_para = aug_para
+        self.augment = augment
+        self.rng = np.random.RandomState(seed)
+        self.root_dir = root_dir
+        self.sequences = read_dhg_sequences(root_dir)
+
+        self.samples = []          # (depth_path, xyz (21,3), center_uvd)
+        for seq in self.sequences:
+            d = seq["dir"]
+            xyz = np.loadtxt(os.path.join(d, pred_file), ndmin=2)
+            uvd = np.loadtxt(os.path.join(d, "skeleton_image.txt"), ndmin=2)
+            for k, frame in enumerate(range(seq["start"], seq["end"] + 1)):
+                jx = xyz[k].reshape(-1, 3)
+                ju = uvd[frame].reshape(-1, 2)
+                center_uv = ju.mean(0)
+                center_d = jx.mean(0)[2:3] * 1000.0
+                center_uvd = np.concatenate([center_uv, center_d])
+                center_uvd[0] = 640 - center_uvd[0]    # u-flip (ref :2979)
+                self.samples.append(
+                    (os.path.join(d, f"depth_{frame + 1}.png"),
+                     jx.astype(np.float32), center_uvd.astype(np.float32),
+                     seq))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, index):
+        path, joint_xyz, center_uvd, seq = self.samples[index]
+        depth = readers.shrec_reader(path)
+        depth = depth[:, ::-1].copy()                  # LR flip (ref :2988)
+
+        center_xyz = C.joint_img_to_3d(center_uvd, self.paras, self.flip)
+        cube_size = self.cube_size.astype(np.float64)
+        gt3Dcrop = joint_xyz - center_xyz.reshape(1, 3)
+        depth_crop, trans = C.crop_image_deep_pp(
+            depth, center_uvd, cube_size, (self.img_size, self.img_size),
+            self.paras)
+        if self.augment:
+            mode, off, rot, sc = C.rand_augment(
+                self.rng, self.aug_para[0], self.aug_para[1],
+                self.aug_para[2])
+            imgD, curLabel, cube, com2D, M, _ = C.augment_crop(
+                depth_crop, gt3Dcrop, center_uvd, cube_size, trans, mode,
+                off, rot, sc, self.paras, self.flip)
+            curLabel = curLabel / (cube[2] / 2.0)
+        else:
+            imgD = C.normalize_img(depth_crop.max(), depth_crop, center_xyz,
+                                   cube_size)
+            curLabel = gt3Dcrop / (cube_size[2] / 2.0)
+            cube, com2D, M = np.array(cube_size), center_uvd, trans
+
+        com3D = C.joint_img_to_3d(com2D, self.paras, self.flip)
+        joint_img = C.transform_points_2d(
+            C.joint_3d_to_img(curLabel * (cube[0] / 2.0) + com3D,
+                              self.paras, self.flip), M)
+        joint_img[:, 0:2] = joint_img[:, 0:2] / (self.img_size / 2) - 1
+        joint_img[:, 2] = (joint_img[:, 2] - com3D[2]) / (cube[0] / 2.0)
+        return {
+            "img": imgD[None].astype(np.float32),
+            "xyz_gt": curLabel.astype(np.float32),
+            "uvd_gt": joint_img.astype(np.float32),
+            "center": com3D.astype(np.float32),
+            "M": M.astype(np.float32),
+            "cube": np.asarray(cube, np.float32),
+            "gesture": np.int32(seq["gesture"]),
+            # 28-class label = (gesture-1)*2 + (finger-1) per DHG protocol
+            "label28": np.int32((seq["gesture"] - 1) * 2
+                                + (seq["finger"] - 1)),
+        }
+
+    def write_joints(self, predict_xyz, out_name="skeletons_world_pred.txt"):
+        """Export per-sequence predicted skeletons in truncated-frame
+        order (ref: DHG_loader.write_joints, render_loader.py:3058-3075)."""
+        i = 0
+        for seq in self.sequences:
+            n = seq["end"] - seq["start"] + 1
+            np.savetxt(os.path.join(seq["dir"], out_name),
+                       np.asarray(predict_xyz[i:i + n]).reshape(n, -1),
+                       fmt="%.8f")
+            i += n
+        return i
+
+
+class NYUSTDataset(NYUDataset):
+    """NYU self-training variant (ref: nyu_ST_loader,
+    render_loader.py:1949-2052): view-0 GT joints + per-frame MANO params
+    + a per-sample pseudo-label mask the self-training loop updates.
+    Returns the standard batch dict plus `model_para`."""
+
+    def __init__(self, root_dir, phase, **kw):
+        super().__init__(root_dir, phase, view=0, **kw)
+        self.all_model_para = ModelParaOnlyDataset(
+            root_dir, "nyu", phase, view=0).params
+        self.mask = np.zeros(len(self), np.float32)   # ref :1985
+
+    def __getitem__(self, index):
+        out = super().__getitem__(index)
+        out["model_para"] = self.all_model_para[index].astype(np.float32)
+        return out
 
 
 class ModelParaOnlyDataset:

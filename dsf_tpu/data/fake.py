@@ -97,4 +97,18 @@ def make_fake_nyu(root, mano_npz, n_train=64, n_test=32, seed=0):
                     {"joint_uvd": raw_uvd, "joint_xyz": raw_xyz})
         np.savetxt(os.path.join(pdir, f"center_{phase}_0_refined.txt"),
                    centers, fmt="%.4f")
+
+        # per-frame MANO params (ref layout read_modelPara,
+        # render_loader.py:1324-1332) for the self-training loader
+        ppdir = os.path.join(root, "nyu", "posePara_lm_collosion")
+        os.makedirs(ppdir, exist_ok=True)
+        para_bank = np.concatenate([
+            rng.uniform(-np.pi, np.pi, (n, 3)), rng.randn(n, 45) * 0.3,
+            rng.randn(n, 10) * 0.5, np.ones((n, 1)), np.zeros((n, 3))],
+            axis=1).astype(np.float32)
+        for sfx, sl in (("glb", slice(0, 3)), ("pose", slice(3, 48)),
+                        ("shape", slice(48, 58)), ("scale", slice(58, 59)),
+                        ("trans", slice(59, 62))):
+            np.savetxt(os.path.join(ppdir, f"nyu-{phase}-0-{sfx}.txt"),
+                       para_bank[:, sl], fmt="%.6f")
     return root
