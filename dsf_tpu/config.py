@@ -59,6 +59,8 @@ class Config:
     test_id: int = 0                      # msra leave-one-out subject
 
     test_during_train: bool = True
+    image_every: int = 200                # TB pose/depth overlays cadence
+                                          # (0 = off; ref logs each iter)
 
     batch_size: int = 32
     input_size: int = 128

@@ -76,6 +76,15 @@ def run(cfg: Config):
     from dsf_tpu.training.trainer import Trainer
     from dsf_tpu.training import checkpoints as ckpt
 
+    # multi-host bring-up when a coordinator is configured (DCN across
+    # hosts, ICI within a slice — SURVEY §2.4 plan); no-op single-host
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        from dsf_tpu.parallel import distributed
+        distributed.initialize(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+
     run_dir = os.path.join(cfg.save_dir, cfg.dataset, cfg.run_name())
     os.makedirs(run_dir, exist_ok=True)
     logging.basicConfig(
@@ -136,14 +145,15 @@ def run(cfg: Config):
     real_it = _real_iter(train_ds, cfg) if cfg.train_stage != "Pretrain" else None
     for epoch in range(start_epoch, cfg.max_epoch):
         t0 = time.time()
-        state, key, metrics = tr.fit_epoch(state, key, synth_iter, real_it,
-                                           num_steps=steps)
+        state, key, metrics = tr.fit_epoch(
+            state, key, synth_iter, real_it, num_steps=steps, writer=writer,
+            epoch=epoch, image_every=cfg.image_every)
         logging.info("Epoch#%d: %s (%.1fs)", epoch,
                      " ".join(f"{k}={v:.3f}" for k, v in metrics.items()),
                      time.time() - t0)
         if writer is not None:
             for k, v in metrics.items():
-                writer.add_scalar(k, v, global_step=epoch)
+                writer.add_scalar(f"epoch/{k}", v, global_step=epoch)
         ckpt.save(os.path.join(run_dir, "latest"), tr, state, epoch)
         if cfg.test_during_train:
             errs = _test_view(tr, state, cfg, 0)
@@ -172,10 +182,13 @@ def _test_view(tr, state, cfg, view, run_dir=None):
     else:
         _, ds, _ = _make_datasets(cfg)
 
-    export = run_dir is not None and (cfg.save_result or cfg.save_mesh)
+    export = run_dir is not None and (cfg.save_result or cfg.save_mesh
+                                      or cfg.save_obj)
     files = {}
     if export:
         s = cfg.stage_num * 2 - 1
+        if cfg.save_obj:
+            os.makedirs(os.path.join(run_dir, "obj"), exist_ok=True)
         if cfg.save_result:
             files["r0"] = open(os.path.join(run_dir, f"result_0_{view}.txt"), "w")
             files["r1"] = open(os.path.join(run_dir, f"result_1_{view}.txt"), "w")
@@ -218,6 +231,16 @@ def _test_view(tr, state, cfg, view, run_dir=None):
                 np.savetxt(files["mano"],
                            np.asarray(results[f"mano_para_{last}"]),
                            fmt="%.3f")
+            if cfg.save_obj:
+                # per-sample .obj dumps (ref train_render.py:391-393)
+                from dsf_tpu.utils.vis import save_obj
+                mesh_world = (np.asarray(results[f"mano_mesh_{last}"])
+                              * cube / 2 + center)
+                faces = np.asarray(tr.renderer.mano.faces)
+                for bi in range(mesh_world.shape[0]):
+                    save_obj(os.path.join(
+                        run_dir, "obj", f"{view}_{n - 1}_{bi}.obj"),
+                        mesh_world[bi], faces)
     for fh in files.values():
         fh.close()
     return totals / max(n, 1)

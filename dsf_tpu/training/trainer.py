@@ -98,9 +98,31 @@ class Trainer:
         self.transfer_net = (ResnetGenerator(dtype=dtype)
                              if cfg.transferNet_pth else None)
         self.transfer_vars = None
-        if self.transfer_net is not None and os.path.exists(cfg.transferNet_pth):
-            from dsf_tpu.models.torch_import import load_cyclegan_generator
-            self.transfer_vars = load_cyclegan_generator(cfg.transferNet_pth)
+        if self.transfer_net is not None:
+            if os.path.exists(cfg.transferNet_pth):
+                if cfg.transferNet_pth.endswith(".npz"):
+                    # natively-trained generator (pipelines.run_cyclegan)
+                    from dsf_tpu.training.pipelines import load_variables_npz
+                    self.transfer_vars = load_variables_npz(
+                        cfg.transferNet_pth)
+                else:
+                    from dsf_tpu.models.torch_import import (
+                        load_cyclegan_generator)
+                    self.transfer_vars = load_cyclegan_generator(
+                        cfg.transferNet_pth)
+            else:
+                # cost-faithful stand-in: the reference runs the frozen
+                # 9-block generator on every synth image
+                # (train_render.py:95-100, 639); without the checkpoint a
+                # randomly-initialized frozen G keeps the step's compute
+                # identical (used by bench.py / the driver entry points)
+                import logging
+                logging.warning("transferNet_pth %r not found; using a "
+                                "randomly initialized frozen generator",
+                                cfg.transferNet_pth)
+                self.transfer_vars = self.transfer_net.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, 1, cfg.input_size, cfg.input_size)))
 
         self.tx = make_optimizer(cfg, self.steps_per_epoch)
         if self.mesh is None:
@@ -227,10 +249,12 @@ class Trainer:
                 mano_jxyz, mano_mesh = rnd.get_mesh_xyz(r, para_pd)
                 e0 = phases.xyz2error_mm(jxyz[:, tm][:, :n_eval],
                                          batch["xyz_gt"][:, :n_eval],
-                                         batch["center"], batch["cube"])
+                                         batch["center"], batch["cube"],
+                                         dataset=cfg.dataset)
                 e1 = phases.xyz2error_mm(mano_jxyz[:, tm][:, :n_eval],
                                          batch["xyz_gt"][:, :n_eval],
-                                         batch["center"], batch["cube"])
+                                         batch["center"], batch["cube"],
+                                         dataset=cfg.dataset)
                 errors += [e0, e1]
                 results[f"joint_xyz_{idx}"] = jxyz
                 results[f"mano_joint_xyz_{idx}"] = mano_jxyz
@@ -256,15 +280,23 @@ class Trainer:
     # -------------------------------------------------------------- fit
 
     def fit_epoch(self, state: TrainState, key, synth_iter, real_iter=None,
-                  num_steps: Optional[int] = None):
+                  num_steps: Optional[int] = None, writer=None, epoch=0,
+                  image_every=0):
+        """One epoch.  With a TB ``writer``, logs every loss term as a
+        per-iteration scalar and (every ``image_every`` steps) pose- and
+        depth-overlay images — the reference logs both each iteration
+        (train_render.py:259-270).  Returns the epoch-MEAN metrics."""
         cfg = self.cfg
         phase = cfg.train_stage if cfg.train_stage == "Pretrain" else (
             "Finetune" if cfg.stage_num == 1 else "FinetuneStage")
         step = self.train_step_fn(phase)
-        metrics_acc = []
-        for i in range(num_steps or self.steps_per_epoch):
+        steps = num_steps or self.steps_per_epoch
+        sums: Dict[str, float] = {}
+        pending = None     # (step_idx, metrics) — read one step late so
+        for i in range(steps):                # the device isn't stalled
             model_para, cube_synth = next(synth_iter)
             batch = {"model_para": model_para, "cube_synth": cube_synth}
+            uvd_gt = None
             if phase != "Pretrain":
                 img, xyz_gt, uvd_gt, center, M, cube = next(real_iter)
                 batch.update(img=img, xyz_gt=xyz_gt, center=center, M=M,
@@ -272,6 +304,48 @@ class Trainer:
             batch = pmesh.shard_batch(self.mesh, batch)
             key, sub = jax.random.split(key)
             state, metrics = step(state, sub, batch)
-            metrics_acc.append(metrics)
-        last = {k: float(v) for k, v in metrics_acc[-1].items()}
-        return state, key, last
+
+            if pending is not None:
+                self._log_step(writer, epoch, steps, *pending, sums)
+            pending = (i, metrics)
+
+            if (writer is not None and image_every and phase != "Pretrain"
+                    and i % image_every == 0):
+                self._log_images(writer, epoch * steps + i, state, batch,
+                                 uvd_gt)
+        if pending is not None:
+            self._log_step(writer, epoch, steps, *pending, sums)
+        mean = {k: v / steps for k, v in sums.items()}
+        return state, key, mean
+
+    def _log_step(self, writer, epoch, steps, i, metrics, sums):
+        vals = {k: float(v) for k, v in metrics.items()}
+        for k, v in vals.items():
+            sums[k] = sums.get(k, 0.0) + v
+            if writer is not None:
+                writer.add_scalar(k, v, global_step=epoch * steps + i)
+
+    def _log_images(self, writer, gstep, state, batch, uvd_gt):
+        """Pose-overlay + depth images (ref: add_image,
+        train_render.py:262-270)."""
+        import numpy as np
+        from dsf_tpu.utils import vis
+        from dsf_tpu.ops.offset_codec import offset2joint_softmax
+
+        outputs = self.net.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["img"], self.renderer, batch["center"], batch["cube"],
+            train=False)
+        img = np.asarray(batch["img"][0, 0])
+        for idx, (pixel_pd, _) in enumerate(outputs):
+            juvd = offset2joint_softmax(pixel_pd[:1], batch["img"][:1],
+                                        self.cfg.feature_para[0])
+            writer.add_image(f"pose_pd_{idx}",
+                             vis.draw_2d_pose(img, np.asarray(juvd[0])),
+                             gstep, dataformats="HWC")
+        if uvd_gt is not None:
+            writer.add_image("pose_gt",
+                             vis.draw_2d_pose(img, np.asarray(uvd_gt[0])),
+                             gstep, dataformats="HWC")
+        writer.add_image("depth", vis.depth_to_u8(img)[..., None], gstep,
+                         dataformats="HWC")
