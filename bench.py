@@ -2,13 +2,26 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+The benched step contains EVERY per-iteration op of the reference's
+2-stage self-supervised finetune (SURVEY §3.1, train_render.py:633-818):
+synth-sample factory (MANO LBS + rasterization + augmentation), the
+frozen 9-block CycleGAN pass on the synth image (:639; random-init
+stand-in when no checkpoint — identical cost), 2 two-stage net
+forward+backward passes with the renderer inside the graph, per-stage
+re-renders, crop_hand/seg/cloud prep, and the full loss set
+(pixel/coord/MANO/coll/m2d/d2m/pd2m/M2P) with optimizer update.
+
 Baseline anchor: the reference publishes no throughput numbers
-(BASELINE.md).  The per-step workload of its 2-stage self-supervised
-finetune (batch 32: ~5 full-frame pytorch3d rasterizations, >=6 MANO
-LBS passes, 2x(1+15)-mesh point-face distances on 2048-pt clouds, 4
-ResNet-18 forward(+backward) passes, 1 CycleGAN pass) is estimated at
-~200 frames/sec on A100; vs_baseline is measured fps / 200.  The north
-star is vs_baseline >= 5.
+(BASELINE.md).  Derivation of the 200 fps A100 estimate: per step the
+reference runs ~5 full-frame (640x640 NDC) pytorch3d rasterizations
+(fwd+bwd ~4-8 ms each at this face count with binning), >=6 MANO LBS
+passes with a 16-step python-loop kinematic chain (launch-bound,
+~1-2 ms each), 2x(1+15)-mesh point_face_dist kernels on 2048-pt clouds,
+4 ResNet-18-scale forward+backward passes + 1 CycleGAN forward
+(~1.5 TFLOP at 25-35% util ~ 15-20 ms), plus per-iteration python/launch
+overhead of ~40 sequential loss terms — ~120-200 ms/step => ~160-260
+fps; 200 fps (6.25 ms/frame at batch 32) is the midpoint.
+vs_baseline = measured fps / 200.  North star: vs_baseline >= 5.
 """
 
 import json

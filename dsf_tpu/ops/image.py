@@ -101,3 +101,67 @@ def affine_warp(img, theta, mode="bilinear"):
     grid = jnp.einsum("bij,bnj->bni", theta, jnp.broadcast_to(base, (B, H * W, 3)))
     grid = grid.reshape(B, H, W, 2)
     return grid_sample(img, grid, mode=mode, align_corners=False)
+
+
+def roi_align(img, rois, out_hw, spatial_scale=1.0, sampling_ratio=1):
+    """torchvision RoIAlign (aligned=False) parity op.
+
+    The reference constructs RoIAlign for its resize/crop variants
+    (render_model/mano_layer.py:963-964, used by ResizeRenderImg
+    :1262-1273).  img: (B, C, H, W); rois: (N, 5) rows
+    [batch_index, x1, y1, x2, y2] in input coordinates.  Each output
+    pixel averages sampling_ratio^2 bilinear samples of its bin, exactly
+    torchvision's (continuous-coordinate, half-pixel-center) sampling.
+    Returns (N, C, out_h, out_w).
+    """
+    B, C, H, W = img.shape
+    oh, ow = out_hw
+    bidx = rois[:, 0].astype(jnp.int32)                       # (N,)
+    x1, y1, x2, y2 = (rois[:, i] * spatial_scale for i in range(1, 5))
+    bin_w = (x2 - x1) / ow                                    # (N,)
+    bin_h = (y2 - y1) / oh
+    s = max(int(sampling_ratio), 1)
+
+    # sample positions: bin grid x sub-sample grid (torchvision places
+    # sub-samples at (i + 0.5)/s within each bin)
+    gx = jnp.arange(ow)[None, :, None]                        # (1, ow, 1)
+    sx = (jnp.arange(s)[None, None, :] + 0.5) / s             # (1, 1, s)
+    px = x1[:, None, None] + (gx + sx) * bin_w[:, None, None]  # (N, ow, s)
+    gy = jnp.arange(oh)[None, :, None]
+    sy = (jnp.arange(s)[None, None, :] + 0.5) / s
+    py = y1[:, None, None] + (gy + sy) * bin_h[:, None, None]  # (N, oh, s)
+
+    px = px.reshape(-1, ow * s)                               # (N, ow*s)
+    py = py.reshape(-1, oh * s)
+    # bilinear gather at continuous positions - 0.5 (half-pixel centers)
+    fx = px - 0.5
+    fy = py - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def gather(ix, iy):
+        # ix (N, ow*s), iy (N, oh*s) -> (N, C, oh*s, ow*s)
+        valid = ((ix[:, None, :] >= 0) & (ix[:, None, :] < W)
+                 & (iy[:, :, None] >= 0) & (iy[:, :, None] < H))
+        ixc = jnp.clip(ix, 0, W - 1)
+        iyc = jnp.clip(iy, 0, H - 1)
+        out = img[bidx[:, None, None], :, iyc[:, :, None], ixc[:, None, :]]
+        out = jnp.moveaxis(out, -1, 1)                        # (N,C,oh*s,ow*s)
+        return out * valid[:, None, :, :]
+
+    v00 = gather(x0, y0)
+    v01 = gather(x0 + 1, y0)
+    v10 = gather(x0, y0 + 1)
+    v11 = gather(x0 + 1, y0 + 1)
+    wxr = wx[:, None, None, :]
+    wyr = wy[:, None, :, None]
+    out = (v00 * (1 - wxr) * (1 - wyr) + v01 * wxr * (1 - wyr)
+           + v10 * (1 - wxr) * wyr + v11 * wxr * wyr)
+    # average the s x s sub-samples per bin
+    N = rois.shape[0]
+    out = out.reshape(N, C, oh, s, ow, s).mean(axis=(3, 5))
+    return out

@@ -11,9 +11,9 @@ import argparse
 import dataclasses
 
 
-def parse_config(argv=None):
+def parse_config(argv=None, description="dsf_tpu trainer"):
     from dsf_tpu.config import Config
-    parser = argparse.ArgumentParser(description="dsf_tpu trainer")
+    parser = argparse.ArgumentParser(description=description)
     for f in dataclasses.fields(Config):
         if f.type in ("bool", bool):
             parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in
@@ -34,6 +34,20 @@ def parse_config(argv=None):
 
 
 def main(argv=None):
+    import sys
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # subcommands for the auxiliary pipelines; default = the main trainer
+    if argv and argv[0] in ("ccssl", "cyclegan"):
+        sub, rest = argv[0], argv[1:]
+        cfg = parse_config(rest, description=f"dsf_tpu {sub} pipeline")
+        import logging
+        logging.basicConfig(level=logging.INFO)
+        from dsf_tpu.training import pipelines
+        if sub == "ccssl":
+            pipelines.run_ccssl(cfg)
+        else:
+            pipelines.run_cyclegan(cfg)
+        return
     cfg = parse_config(argv)
     from dsf_tpu.training.loop import run
     run(cfg)

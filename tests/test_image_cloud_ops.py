@@ -102,3 +102,32 @@ def test_pcl_roundtrip_through_image():
     assert img.shape == (B, 1, S, S)
     fg = np.asarray(img[0, 0])
     assert (fg < 0.99).sum() >= N * 0.5   # most points landed
+
+
+def test_roi_align_identity_and_pool():
+    """RoIAlign parity op (ref mano_layer.py:963-964): a full-image ROI
+    at the output resolution is an identity; at half resolution with
+    sampling_ratio=2 it is exact 2x2 average pooling."""
+    from dsf_tpu.ops.image import roi_align
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(2, 3, 8, 8).astype(np.float32))
+    rois = jnp.asarray([[0, 0, 0, 8, 8], [1, 0, 0, 8, 8]], jnp.float32)
+
+    out = roi_align(img, rois, (8, 8), spatial_scale=1.0, sampling_ratio=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+
+    pooled = roi_align(img, rois, (4, 4), spatial_scale=1.0,
+                       sampling_ratio=2)
+    ref = np.asarray(img).reshape(2, 3, 4, 2, 4, 2).mean((3, 5))
+    np.testing.assert_allclose(np.asarray(pooled), ref, atol=1e-6)
+
+
+def test_roi_align_batch_index_and_subwindow():
+    from dsf_tpu.ops.image import roi_align
+    rng = np.random.RandomState(4)
+    img = jnp.asarray(rng.rand(2, 1, 16, 16).astype(np.float32))
+    # 4x4 sub-window of image 1 at integer offsets, output 4x4 = identity
+    rois = jnp.asarray([[1, 4, 8, 8, 12]], jnp.float32)
+    out = roi_align(img, rois, (4, 4), sampling_ratio=1)
+    np.testing.assert_allclose(np.asarray(out)[0, 0],
+                               np.asarray(img)[1, 0, 8:12, 4:8], atol=1e-6)
