@@ -1,18 +1,38 @@
 """Checkpoint save/restore via orbax (replaces torch.save of
 {'model','optimizer','epoch'}, ref: train_render.py:284-308, with the
-same partial-restore warm-start semantics for finetune_dir)."""
+same partial-restore warm-start semantics for finetune_dir).
+
+Saves are ASYNC (ocp.AsyncCheckpointer): the epoch loop keeps training
+while the previous checkpoint serializes in a background thread — the
+reference blocks the loop on torch.save every epoch.  Call
+``wait_until_finished`` (or rely on the atexit hook) before reading a
+just-written checkpoint.
+"""
 
 from __future__ import annotations
 
+import atexit
 import os
 
 import jax
 import numpy as np
 
+_ASYNC = None
+
 
 def _checkpointer():
-    import orbax.checkpoint as ocp
-    return ocp.PyTreeCheckpointer()
+    """Process-wide async checkpointer (orbax allows one per dir tree)."""
+    global _ASYNC
+    if _ASYNC is None:
+        import orbax.checkpoint as ocp
+        _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        atexit.register(_ASYNC.wait_until_finished)
+    return _ASYNC
+
+
+def wait_until_finished():
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
 
 
 def save(path: str, trainer, state, epoch: int):
@@ -24,6 +44,7 @@ def save(path: str, trainer, state, epoch: int):
         "epoch": epoch,
     }
     cp = _checkpointer()
+    cp.wait_until_finished()          # at most one in-flight save
     cp.save(os.path.abspath(path), ckpt, force=True)
 
 
@@ -31,6 +52,7 @@ def restore(path: str, trainer, state, weights_only: bool = False):
     """Restore into an existing state.  With weights_only (the reference's
     finetune_dir warm start, train_render.py:138-145) only params +
     batch_stats load and the optimizer restarts."""
+    wait_until_finished()             # a save to `path` may be in flight
     cp = _checkpointer()
     ref = {
         "params": jax.device_get(state.params),

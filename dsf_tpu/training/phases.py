@@ -154,10 +154,17 @@ def _apply(apply_fn, variables, img, r, center, cube, train,
 
 def _prep_real(r, cfg, key, img_r, center_r, M_r, cube_r,
                joints_xyz_t, mano_joints_t, mano_mesh_t):
-    """crop_hand + pixel segmentation + fixed-N clouds from the teacher."""
-    k1, k2 = jax.random.split(key)
+    """crop_hand + pixel segmentation + fixed-N clouds from the teacher.
+
+    The two cloud extractions (joint-masked image + plain crop) run as
+    ONE img_to_pcl call at 2B — identical semantics, the random
+    subsampling just draws from one stream instead of two."""
     B = img_r.shape[0]
     S = cfg.input_size
+
+    def two(x):
+        return jnp.concatenate([x, x], axis=0)
+
     crop_img = cloud.crop_hand(img_r, mano_joints_t, center_r, M_r, cube_r,
                                r.paras, S, flip=r.flip)
     _, pcl_img = cloud.uvd_img_to_xyz_img(crop_img, center_r, M_r, cube_r,
@@ -168,12 +175,12 @@ def _prep_real(r, cfg, key, img_r, center_r, M_r, cube_r,
     seg_img = jnp.where(
         (crop_img < 0.99).reshape(B, -1), seg_img, 0).reshape(B, 1, S, S)
     joint_img = jnp.where(seg_img > 0, crop_img, jnp.ones_like(crop_img))
-    joint_pcl = cloud.img_to_pcl(k1, joint_img, center_r, M_r, cube_r,
-                                 r.paras, S, 2048, S, r.flip)
+    both = cloud.img_to_pcl(key, jnp.concatenate([joint_img, crop_img]),
+                            two(center_r), two(M_r), two(cube_r),
+                            r.paras, S, 2048, S, r.flip)
+    joint_pcl, pcl = both[:B], both[B:]
     seg = sph.seg_pcl(r.mano, joints_xyz_t, mano_joints_t, mano_mesh_t,
                       joint_pcl)
-    pcl = cloud.img_to_pcl(k2, crop_img, center_r, M_r, cube_r,
-                           r.paras, S, 2048, S, r.flip)
     return crop_img, seg_img, joint_pcl, seg, pcl
 
 

@@ -140,3 +140,18 @@ def test_ccssl_prediction_check_identity():
     assert out_joints.shape == (B, J, 3)
     assert conf.shape == (B, J)
     assert np.isfinite(np.asarray(out_joints)).all()
+
+
+def test_input_pipeline_bench_runs(tmp_path):
+    """bench_input measures the real loader end-to-end (fake dataset)."""
+    from dsf_tpu.data.fake import make_fake_nyu
+    from dsf_tpu.mano import synthetic
+    from dsf_tpu.tools.bench_input import bench_dataset
+    from dsf_tpu.data.datasets import NYUDataset
+    import os
+    npz = str(tmp_path / "m.npz")
+    synthetic.save_synthetic_mano(npz)
+    root = make_fake_nyu(str(tmp_path), npz, n_train=16, n_test=4)
+    ds = NYUDataset(os.path.join(root, "nyu"), "train", img_size=64)
+    fps = bench_dataset(ds, batch_size=4, n_batches=4)
+    assert fps > 0
