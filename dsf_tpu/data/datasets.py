@@ -93,6 +93,10 @@ class NYUDataset(BaseDataset):
         self.aug_para = aug_para
         self.joint_num = joint_num
         self.rng = np.random.RandomState(seed)
+        # augmentation is decoupled from the split name so subclasses can
+        # augment the test split without relabeling the phase (the path/
+        # phase coupling bit round 1; ref nyu_loader_test :1483)
+        self.augment = phase == "train"
 
         data_path = os.path.join(root_dir, phase)
         self.data_path = data_path
@@ -140,7 +144,7 @@ class NYUDataset(BaseDataset):
         depth_crop, trans = C.crop_image_deep_pp(
             depth, center_uvd, cube_size, (self.img_size, self.img_size),
             self.paras)
-        if self.phase == "train":
+        if self.augment:
             mode, off, rot, sc = C.rand_augment(
                 self.rng, self.aug_para[0], self.aug_para[1], self.aug_para[2])
             imgD, curLabel, cube, com2D, M, _ = C.augment_crop(
@@ -667,7 +671,5 @@ class NYUTestAugDataset(NYUDataset):
     def __init__(self, root_dir, **kw):
         super().__init__(root_dir, "test", **kw)
         self.test_cubesize[:] = self.cube_size   # no test-cube shrink
-        self.phase = "train"                     # enables augmentCrop
-        # file paths were resolved against the test split in __init__;
-        # keep them (self.data_path already points at {root}/test)
-        self.data_path = os.path.join(root_dir, "test")
+        self.augment = True    # phase stays "test": paths + cube table
+                               # remain test-split, only aug turns on
