@@ -22,6 +22,12 @@ passes with a 16-step python-loop kinematic chain (launch-bound,
 overhead of ~40 sequential loss terms — ~120-200 ms/step => ~160-260
 fps; 200 fps (6.25 ms/frame at batch 32) is the midpoint.
 vs_baseline = measured fps / 200.  North star: vs_baseline >= 5.
+
+Compute dtype defaults to bfloat16: an 800-step Pretrain convergence
+A/B on identical data (2026-08-16) measured tail-5 mean errors of
+pixel 52.0mm / MANO 58.5mm (f32) vs 52.5mm / 58.6mm (bf16) — within
+run-to-run noise — while MANO LBS stays f32 HIGHEST and every loss
+reduces in f32.  Override with DSF_COMPUTE_DTYPE=float32.
 """
 
 import json
@@ -36,6 +42,7 @@ BATCH = 32
 
 
 def main():
+    os.environ.setdefault("DSF_COMPUTE_DTYPE", "bfloat16")
     import jax
     import jax.numpy as jnp
     from dsf_tpu import geometry as geo
