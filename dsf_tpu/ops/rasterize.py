@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dsf_tpu import geometry as geo
 
@@ -358,31 +359,86 @@ def _raster_forward(tile_hw, proj, pix_uv, faces):
     return _raster_scan(proj, pix_uv, faces)
 
 
+@jax.custom_vjp
+def _attach_raster_grad(proj, pix_uv, zbuf, idx, faces):
+    """Identity on ``zbuf`` that ATTACHES the rasterizer's gradient wrt
+    ``proj`` (hard blur=0: through the hit face's depth plane only).
+
+    The scan that produced (zbuf, idx) lives OUTSIDE this custom_vjp
+    with its inputs gradient-stopped, so it appears exactly once in the
+    autodiff graph; the fwd here is free.  Earlier designs measured on
+    v5e (B=32, 128^2, 1554f): scan inside a custom_vjp fwd — grad
+    re-ran it (fwd 8.8ms, grad 18.1ms); plain two-pass re-evaluation —
+    the per-pixel coefficient gathers cost 4.5-17ms.  This form: fwd
+    9.8ms (scan only), bwd +0.02ms (moment scatter)."""
+    return zbuf
+
+
+def _attach_fwd(proj, pix_uv, zbuf, idx, faces):
+    return zbuf, (proj, pix_uv, idx, faces)
+
+
+def _attach_bwd(res, g):
+    """Backward via per-face MOMENTS.
+
+    For a fixed face, the interpolated depth z(u, v) = (az u + bz v +
+    cz)/A is linear in the pixel position, so the cotangent reaching a
+    face is fully captured by three moments of its covering pixels:
+    S1 = sum g, Su = sum g u, Sv = sum g v.  Then
+
+        sum_p g_p z_p = sum_t (az_t Su_t + bz_t Sv_t + cz_t S1_t) / A_t
+
+    and the vertex gradient is plain autodiff of that tiny dense (B, T)
+    expression — one (B, P, 3) scatter-add keyed by hit-face id.  The
+    pixel->face assignment stays detached — hard blur=0 semantics."""
+    proj, pix_uv, idx, faces = res
+    B, P = idx.shape
+    hit = (idx >= 0).astype(g.dtype)
+    gm = g * hit
+    safe_idx = jnp.where(idx >= 0, idx, 0)
+    upd = jnp.stack([gm, gm * pix_uv[..., 0], gm * pix_uv[..., 1]], axis=-1)
+    T = faces.shape[0]
+
+    def scatter(one_idx, one_upd):
+        return jnp.zeros((T, 3), g.dtype).at[one_idx].add(one_upd)
+
+    mom = jax.vmap(scatter)(safe_idx, upd)      # (B, T, 3): S1, Su, Sv
+
+    def face_sum(p):
+        tri = p[:, faces]
+        u0, v0, z0 = tri[..., 0, 0], tri[..., 0, 1], tri[..., 0, 2]
+        u1, v1, z1 = tri[..., 1, 0], tri[..., 1, 1], tri[..., 1, 2]
+        u2, v2, z2 = tri[..., 2, 0], tri[..., 2, 1], tri[..., 2, 2]
+        a = jnp.stack([v1 - v2, v2 - v0, v0 - v1], axis=-1)
+        b = jnp.stack([u2 - u1, u0 - u2, u1 - u0], axis=-1)
+        c = jnp.stack([u1 * v2 - u2 * v1, u2 * v0 - u0 * v2,
+                       u0 * v1 - u1 * v0], axis=-1)
+        A = c.sum(-1)
+        z = jnp.stack([z0, z1, z2], axis=-1)
+        az = (a * z).sum(-1)
+        bz = (b * z).sum(-1)
+        cz = (c * z).sum(-1)
+        Asafe = jnp.where(jnp.abs(A) < 1e-9, 1.0, A)
+        per_face = (az * mom[..., 1] + bz * mom[..., 2]
+                    + cz * mom[..., 0]) / Asafe
+        return jnp.sum(jnp.where(jnp.abs(A) < 1e-9, 0.0, per_face))
+
+    dproj = jax.grad(face_sum)(proj)
+    zero_idx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    zero_faces = np.zeros(faces.shape, dtype=jax.dtypes.float0)
+    return (dproj, jnp.zeros_like(pix_uv), jnp.zeros_like(g), zero_idx,
+            zero_faces)
+
+
+_attach_raster_grad.defvjp(_attach_fwd, _attach_bwd)
+
+
 def _raster(tile_hw, proj, pix_uv, faces):
-    """Differentiable zbuf, two-pass (same design as ops/point_mesh):
-
-    1. argmin pass, gradients stopped: the dense scan (or binned path)
-       finds the nearest covering face per pixel.
-    2. differentiable pass: re-evaluate the winner's interpolated depth
-       z = az u + bz v + cz from gathered per-face coefficients — the
-       exact expression the scan minimized, so values are bit-identical,
-       and autodiff flows to the verts through the hit face only
-       (pytorch3d's hard blur=0 backward).
-
-    This replaced a custom_vjp (moment-scatter backward): under jax.grad
-    the custom_vjp path re-ran the 9ms forward scan a second time
-    (measured 18ms fwd+bwd with a 0.02ms bwd); the two-pass form keeps
-    the scan out of the autodiff graph entirely.
-    """
-    _, idx = _raster_forward(tile_hw, jax.lax.stop_gradient(proj),
-                             jax.lax.stop_gradient(pix_uv), faces)
-    a, b, c, az, bz, cz, valid, _sgn = _face_coeffs(proj, faces)
-    safe = jnp.where(idx >= 0, idx, 0)
-    gaz = jnp.take_along_axis(az, safe, axis=1)        # (B, P)
-    gbz = jnp.take_along_axis(bz, safe, axis=1)
-    gcz = jnp.take_along_axis(cz, safe, axis=1)
-    z = gaz * pix_uv[..., 0] + gbz * pix_uv[..., 1] + gcz
-    return jnp.where(idx >= 0, z, 0.0)
+    """Differentiable zbuf: stop-gradient argmin scan + attached hard
+    gradient (see _attach_raster_grad)."""
+    zbuf, idx = _raster_forward(tile_hw, jax.lax.stop_gradient(proj),
+                                jax.lax.stop_gradient(pix_uv), faces)
+    return _attach_raster_grad(proj, pix_uv, zbuf, idx, faces)
 
 
 def rasterize_depth(verts, faces, pix_uv, paras, flip=1.0, return_idx=False,
