@@ -395,14 +395,22 @@ def _attach_bwd(res, g):
     B, P = idx.shape
     hit = (idx >= 0).astype(g.dtype)
     gm = g * hit
-    safe_idx = jnp.where(idx >= 0, idx, 0)
     upd = jnp.stack([gm, gm * pix_uv[..., 0], gm * pix_uv[..., 1]], axis=-1)
     T = faces.shape[0]
 
-    def scatter(one_idx, one_upd):
-        return jnp.zeros((T, 3), g.dtype).at[one_idx].add(one_upd)
-
-    mom = jax.vmap(scatter)(safe_idx, upd)      # (B, T, 3): S1, Su, Sv
+    # moments via chunked one-hot matmul on the MXU: measured 11.8ms for
+    # scan+moments vs 17.9ms with a (B,P)->(T,3) scatter-add (B=32,
+    # P=128^2, T=1554 on v5e); HIGHEST precision keeps it exact to f32
+    # summation order (2e-7 rel vs the scatter; the default MXU passes
+    # drift 1e-3).  Misses contribute zeros via gm, so no index masking.
+    chunks = []
+    for c in range(0, T, 512):
+        width = min(512, T - c)
+        onehot = (idx[:, :, None]
+                  == (c + jnp.arange(width))[None, None]).astype(g.dtype)
+        chunks.append(jnp.einsum("bpc,bpm->bcm", onehot, upd,
+                                 precision=jax.lax.Precision.HIGHEST))
+    mom = jnp.concatenate(chunks, axis=1)       # (B, T, 3): S1, Su, Sv
 
     def face_sum(p):
         tri = p[:, faces]
