@@ -37,7 +37,8 @@ class HgConv(nn.Module):
                     kernel_init=kaiming_out_init, dtype=self.dtype,
                     name="conv")(x.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
         if self.bn:
-            x = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype)(x, train)
+            x = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                          name="bn")(x, train)
         if self.relu:
             x = nn.relu(x)
         return x

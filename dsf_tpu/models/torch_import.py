@@ -170,3 +170,71 @@ def convert_mano_ocr_stage(sd: Dict[str, np.ndarray], refine=True):
 
 def load_mano_ocr_stage(path: str, refine=True):
     return convert_mano_ocr_stage(load_torch_state(path), refine=refine)
+
+
+# ---------------------------------------------------------------------------
+# Hourglass PoseNet checkpoints (ref model/hourglass.py:169-259)
+# ---------------------------------------------------------------------------
+
+def _hg_conv(sd, prefix, bn=False):
+    p = {"conv": {"kernel": _conv_w(sd[f"{prefix}.conv.weight"]),
+                  "bias": _np(sd[f"{prefix}.conv.bias"])}}
+    s = {}
+    if bn:
+        bp, bs = _bn(sd, f"{prefix}.bn")
+        p["bn"], s["bn"] = bp, bs
+    return p, s
+
+
+def _hg_residual(sd, prefix):
+    """Reference Residual always materializes skip_layer params; our
+    module only has the skip conv when channels change (detected here
+    from the conv shapes)."""
+    p, s = {}, {}
+    for i in (1, 2, 3):
+        bp, bs = _bn(sd, f"{prefix}.bn{i}")
+        p[f"bn{i}"], s[f"bn{i}"] = bp, bs
+        cp, _ = _hg_conv(sd, f"{prefix}.conv{i}")
+        p[f"c{i}"] = cp
+    inp = sd[f"{prefix}.bn1.weight"].shape[0]
+    out = sd[f"{prefix}.conv3.conv.weight"].shape[0]
+    if inp != out:
+        p["skip"], _ = _hg_conv(sd, f"{prefix}.skip_layer")
+    return p, s
+
+
+def _hg_hourglass(sd, prefix, n):
+    p, s = {}, {}
+    for name in ("up1", "low1", "low3"):
+        p[name], s[name] = _hg_residual(sd, f"{prefix}.{name}")
+    if n > 1:
+        p["low2"], s["low2"] = _hg_hourglass(sd, f"{prefix}.low2", n - 1)
+    else:
+        p["low2"], s["low2"] = _hg_residual(sd, f"{prefix}.low2")
+    return p, s
+
+
+def convert_pose_net(sd: Dict[str, np.ndarray], nstack=1):
+    """Reference `PoseNet` state_dict -> our hourglass.PoseNet variables
+    (ref layout: pre.{0,1,3,4}, hgs.i, features.i.{0,1}, outs_{1,2,3}.i,
+    merge_preds.i / merge_features.i)."""
+    params, stats = {}, {}
+    params["pre_conv"], stats["pre_conv"] = _hg_conv(sd, "pre.0", bn=True)
+    for ours, theirs in (("pre_r1", "pre.1"), ("pre_r2", "pre.3"),
+                         ("pre_r3", "pre.4")):
+        params[ours], stats[ours] = _hg_residual(sd, theirs)
+    for i in range(nstack):
+        params[f"hg{i}"], stats[f"hg{i}"] = _hg_hourglass(sd, f"hgs.{i}", 4)
+        params[f"feat_r{i}"], stats[f"feat_r{i}"] = _hg_residual(
+            sd, f"features.{i}.0")
+        params[f"feat_c{i}"], stats[f"feat_c{i}"] = _hg_conv(
+            sd, f"features.{i}.1", bn=True)
+        for j, outs in ((1, "outs_1"), (2, "outs_2"), (3, "outs_3")):
+            params[f"out{j}_{i}"] = {"conv": {
+                "kernel": _conv_w(sd[f"{outs}.{i}.weight"]),
+                "bias": _np(sd[f"{outs}.{i}.bias"])}}
+        if i < nstack - 1:
+            params[f"merge_pred{i}"], _ = _hg_conv(sd, f"merge_preds.{i}.conv")
+            params[f"merge_feat{i}"], _ = _hg_conv(
+                sd, f"merge_features.{i}.conv")
+    return {"params": params, "batch_stats": stats}
