@@ -163,6 +163,7 @@ def run(cfg: Config):
                 best = mean_err
                 ckpt.save(os.path.join(run_dir, "best"), tr, state, epoch)
 
+    ckpt.wait_until_finished()      # saves are async; drain before eval
     views = range(3) if cfg.dataset == "nyu" else [0]
     for view in views:
         errs = _test_view(tr, state, cfg, view, run_dir)

@@ -104,6 +104,7 @@ def run_ccssl(cfg, epochs=None, regenerate=True):
         logging.info("CCSSL epoch#%d loss=%.4f (%.1fs)", epoch,
                      float(np.mean(losses)), time.time() - t0)
         ckpt.save(os.path.join(run_dir, "latest"), tr, state, epoch)
+    ckpt.wait_until_finished()      # saves are async; drain before return
     return run_dir, state
 
 
