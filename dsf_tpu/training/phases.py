@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from dsf_tpu import geometry as geo
 from dsf_tpu.losses.basic import smooth_l1
-from dsf_tpu.losses.icp import icp_and_joint_icp, icp_loss, joint_icp_loss
+from dsf_tpu.losses.icp import icp_and_joint_icp
 from dsf_tpu.mano import spheres as sph
 from dsf_tpu.ops import cloud
 from dsf_tpu.ops.offset_codec import joint2offset, offset2joint_softmax
