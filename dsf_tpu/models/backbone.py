@@ -21,7 +21,7 @@ import flax.linen as nn
 
 from dsf_tpu.models.layers import (
     Conv, BatchNorm, ConvBNRelu, DeconvBNRelu, max_pool_3x3_s2,
-    adaptive_avg_pool_1, normal001_init)
+    adaptive_avg_pool_1, normal001_init, nchw_to_nhwc, nhwc_to_nchw)
 from dsf_tpu.models.resnet import RESNET_SPECS, ResLayer
 from dsf_tpu.ops.offset_codec import joint2offset
 from dsf_tpu.render import renderer as rnd
@@ -84,7 +84,7 @@ class _Heads(nn.Module):
         heat = Conv(self.joint_num, 1, 1, 0, use_bias=True,
                     kernel_init=normal001_init, dtype=self.dtype,
                     name="final_heat")(feat)
-        img_result = jnp.concatenate([off, heat], axis=1)
+        img_result = jnp.concatenate([off, heat], axis=-1)   # NHWC
         return img_result, mano_para, feat
 
 
@@ -98,11 +98,11 @@ class ManoOCR(nn.Module):
     @nn.compact
     def __call__(self, img, train: bool = True):
         _, c4 = _Trunk(self.depth, True, 64, self.bn_axis_name, self.dtype,
-                       name="trunk")(img, train)
+                       name="trunk")(nchw_to_nhwc(img), train)
         img_result, mano_para, _ = _Heads(
             self.joint_num, self.bn_axis_name, self.dtype,
             name="heads")(c4, train)
-        return [[img_result, mano_para]]
+        return [[nhwc_to_nchw(img_result), mano_para]]
 
 
 class ManoOCRStage(nn.Module):
@@ -118,14 +118,15 @@ class ManoOCRStage(nn.Module):
                  center=None, cube=None, train: bool = True,
                  return_render: bool = False):
         c0, c4 = _Trunk(self.depth, True, 64, self.bn_axis_name, self.dtype,
-                        name="trunk")(img, train)
+                        name="trunk")(nchw_to_nhwc(img), train)
         img_result, mano_para, img_feature = _Heads(
             self.joint_num, self.bn_axis_name, self.dtype,
             name="heads")(c4, train)
+        img_result_out = nhwc_to_nchw(img_result)
 
         if not self.refine:
-            return ([[img_result, mano_para]], None) if return_render \
-                else [[img_result, mano_para]]
+            return ([[img_result_out, mano_para]], None) if return_render \
+                else [[img_result_out, mano_para]]
 
         # stage 2: re-render stage-1 MANO inside the forward pass.
         # The remap feature size equals the decoder resolution (input/2;
@@ -134,10 +135,10 @@ class ManoOCRStage(nn.Module):
             render, mano_para.astype(jnp.float32), center, cube)
         mano_img, mano_joint_uvd, _, _ = render_s1
         remap = joint2offset(mano_joint_uvd, mano_img, 0.8,
-                             img_result.shape[-1])
+                             img_result.shape[1])
         fusion = jnp.concatenate(
             [c0, img_feature, img_result,
-             remap.astype(img_result.dtype)], axis=1)
+             nchw_to_nhwc(remap).astype(img_result.dtype)], axis=-1)
         x = ConvBNRelu(256, 3, self.bn_axis_name, self.dtype,
                        name="fusion")(fusion, train)
         _, c4_s2 = _Trunk(self.depth, False, 256, self.bn_axis_name,
@@ -145,7 +146,8 @@ class ManoOCRStage(nn.Module):
         img_result_s2, mano_para_s2, _ = _Heads(
             self.joint_num, self.bn_axis_name, self.dtype,
             name="heads_s2")(c4_s2, train)
-        outputs = [[img_result, mano_para], [img_result_s2, mano_para_s2]]
+        outputs = [[img_result_out, mano_para],
+                   [nhwc_to_nchw(img_result_s2), mano_para_s2]]
         # expose the internal render: the trainer's stage-1 losses need
         # exactly this render (same params/center/cube) — reusing it
         # saves one raster forward+backward per step (the reference

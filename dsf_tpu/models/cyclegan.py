@@ -1,4 +1,7 @@
-"""Consis-CycleGAN generator (domain transfer net) in Flax, NCHW.
+"""Consis-CycleGAN generator (domain transfer net) in Flax.
+
+Public API is NCHW (images (B, C, H, W)); internals are NHWC-native
+(see models/layers.py for the layout rationale).
 
 The reference loads a frozen pretrained `ResnetGenerator` (1->1 ch,
 ngf 64, instance norm, reflect pad, 2 down + 9 resblocks + 2 up + tanh;
@@ -17,14 +20,17 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+from dsf_tpu.models.layers import nchw_to_nhwc, nhwc_to_nchw
+
+
 def _reflect_pad(x, p):
-    return jnp.pad(x, ((0, 0), (0, 0), (p, p), (p, p)), mode="reflect")
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
 
 
 def _instance_norm(x, eps=1e-5):
-    """InstanceNorm2d(affine=False) on NCHW."""
-    mean = x.mean(axis=(-1, -2), keepdims=True)
-    var = x.var(axis=(-1, -2), keepdims=True)
+    """InstanceNorm2d(affine=False) on NHWC."""
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
     return (x - mean) / jnp.sqrt(var + eps)
 
 
@@ -38,12 +44,11 @@ class _ConvIN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((self.pad, self.pad),) * 2,
-                    use_bias=self.use_bias, dtype=self.dtype,
-                    name="conv")(x.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
-        return y
+        return nn.Conv(self.features, (self.kernel, self.kernel),
+                       strides=(self.stride, self.stride),
+                       padding=((self.pad, self.pad),) * 2,
+                       use_bias=self.use_bias, dtype=self.dtype,
+                       name="conv")(x)
 
 
 class ResnetBlock(nn.Module):
@@ -73,6 +78,7 @@ class ResnetGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = nchw_to_nhwc(x)
         x = _reflect_pad(x, 3)
         x = _ConvIN(self.ngf, 7, dtype=self.dtype, name="stem")(x)
         x = nn.relu(_instance_norm(x))
@@ -93,7 +99,7 @@ class ResnetGenerator(nn.Module):
             x = nn.relu(_instance_norm(y))
         x = _reflect_pad(x, 3)
         x = _ConvIN(self.output_nc, 7, dtype=self.dtype, name="head")(x)
-        return jnp.tanh(x)
+        return nhwc_to_nchw(jnp.tanh(x))
 
 
 class NLayerDiscriminator(nn.Module):
@@ -106,6 +112,7 @@ class NLayerDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = nchw_to_nhwc(x)
         x = _ConvIN(self.ndf, 4, 2, 1, dtype=self.dtype, name="c0")(x)
         x = nn.leaky_relu(x, 0.2)
         mult = 1
@@ -118,7 +125,8 @@ class NLayerDiscriminator(nn.Module):
         x = _ConvIN(self.ndf * mult, 4, 1, 1, dtype=self.dtype,
                     name=f"c{self.n_layers}")(x)
         x = nn.leaky_relu(_instance_norm(x), 0.2)
-        return _ConvIN(1, 4, 1, 1, dtype=self.dtype, name="head")(x)
+        return nhwc_to_nchw(
+            _ConvIN(1, 4, 1, 1, dtype=self.dtype, name="head")(x))
 
 
 def gan_loss(pred, target_is_real, mode="lsgan"):
@@ -143,6 +151,7 @@ class ResnetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = nchw_to_nhwc(x)
         x = _reflect_pad(x, 3)
         x = _ConvIN(self.ngf, 7, dtype=self.dtype, name="stem")(x)
         x = nn.relu(_instance_norm(x))
@@ -153,7 +162,7 @@ class ResnetEncoder(nn.Module):
             x = nn.relu(_instance_norm(x))
         for i in range(self.n_blocks):
             x = ResnetBlock(self.ngf * 4, dtype=self.dtype, name=f"res{i}")(x)
-        return x
+        return nhwc_to_nchw(x)
 
 
 class ResnetDecoder(nn.Module):
@@ -165,6 +174,7 @@ class ResnetDecoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         from dsf_tpu.models.layers import ConvTranspose
+        x = nchw_to_nhwc(x)
         for i in range(2):
             mult = 2 ** (2 - i)
             x = ConvTranspose(int(self.ngf * mult / 2), 3, 2, 1,
@@ -173,7 +183,7 @@ class ResnetDecoder(nn.Module):
             x = nn.relu(_instance_norm(x))
         x = _reflect_pad(x, 3)
         x = _ConvIN(self.output_nc, 7, dtype=self.dtype, name="head")(x)
-        return jnp.tanh(x)
+        return nhwc_to_nchw(jnp.tanh(x))
 
 
 class UnetGenerator(nn.Module):
@@ -190,10 +200,8 @@ class UnetGenerator(nn.Module):
         from dsf_tpu.models.layers import ConvTranspose
 
         def down(x, ch, name):
-            y = nn.Conv(ch, (4, 4), (2, 2), padding=((1, 1), (1, 1)),
-                        use_bias=True, dtype=self.dtype,
-                        name=name)(x.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
-            return y
+            return nn.Conv(ch, (4, 4), (2, 2), padding=((1, 1), (1, 1)),
+                           use_bias=True, dtype=self.dtype, name=name)(x)
 
         def up(x, ch, name):
             y = ConvTranspose(ch, 4, 2, 1, use_bias=True, dtype=self.dtype,
@@ -203,7 +211,7 @@ class UnetGenerator(nn.Module):
         chans = [min(self.ngf * (2 ** i), self.ngf * 8)
                  for i in range(self.num_downs)]
         skips = []
-        h = x
+        h = nchw_to_nhwc(x)
         for i, ch in enumerate(chans):
             h = down(nn.leaky_relu(h, 0.2) if i else h, ch, f"down{i}")
             if i < len(chans) - 1:
@@ -212,10 +220,10 @@ class UnetGenerator(nn.Module):
         h = skips.pop()
         for i, ch in enumerate(reversed(chans[:-1])):
             h = up(h, ch, f"up{i}")
-            h = jnp.concatenate([skips.pop(), h], axis=1)
+            h = jnp.concatenate([skips.pop(), h], axis=-1)
         y = ConvTranspose(self.output_nc, 4, 2, 1, use_bias=True,
                           dtype=self.dtype, name="head")(nn.relu(h))
-        return jnp.tanh(y)
+        return nhwc_to_nchw(jnp.tanh(y))
 
 
 class PixelDiscriminator(nn.Module):
@@ -226,11 +234,12 @@ class PixelDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = nchw_to_nhwc(x)
         x = _ConvIN(self.ndf, 1, dtype=self.dtype, name="c0")(x)
         x = nn.leaky_relu(x, 0.2)
         x = _ConvIN(self.ndf * 2, 1, dtype=self.dtype, name="c1")(x)
         x = nn.leaky_relu(_instance_norm(x), 0.2)
-        return _ConvIN(1, 1, dtype=self.dtype, name="head")(x)
+        return nhwc_to_nchw(_ConvIN(1, 1, dtype=self.dtype, name="head")(x))
 
 
 def gradient_penalty(key, disc_apply, real, fake, mode="mixed", constant=1.0):

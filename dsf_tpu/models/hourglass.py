@@ -15,7 +15,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from dsf_tpu.models.layers import BatchNorm, kaiming_out_init
+from dsf_tpu.models.layers import (BatchNorm, kaiming_out_init,
+                                   nchw_to_nhwc, nhwc_to_nchw)
 
 
 class HgConv(nn.Module):
@@ -35,7 +36,7 @@ class HgConv(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=((p, p), (p, p)), use_bias=True,
                     kernel_init=kaiming_out_init, dtype=self.dtype,
-                    name="conv")(x.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+                    name="conv")(x)
         if self.bn:
             x = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
                           name="bn")(x, train)
@@ -52,7 +53,7 @@ class Residual(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        inp = x.shape[1]
+        inp = x.shape[-1]
         half = self.features // 2
         skip = x
         if inp != self.features:
@@ -76,12 +77,12 @@ class Residual(nn.Module):
 
 def _pool2(x):
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 1, 2, 2), (1, 1, 2, 2),
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
         ((0, 0), (0, 0), (0, 0), (0, 0)))
 
 
 def _upsample2(x):
-    return jnp.repeat(jnp.repeat(x, 2, -1), 2, -2)
+    return jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
 
 
 class Hourglass(nn.Module):
@@ -121,7 +122,7 @@ class PoseNet(nn.Module):
     def __call__(self, imgs, train: bool = True):
         x = HgConv(64, 7, 2, bn=True, relu=True,
                    bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-                   name="pre_conv")(imgs, train)
+                   name="pre_conv")(nchw_to_nhwc(imgs), train)
         x = Residual(128, self.bn_axis_name, self.dtype, name="pre_r1")(x, train)
         x = _pool2(x)
         x = Residual(256, self.bn_axis_name, self.dtype, name="pre_r2")(x, train)
@@ -144,12 +145,12 @@ class PoseNet(nn.Module):
                          name=f"out2_{i}")(feat, train)
             weight = HgConv(self.joint_num, 1, relu=False, dtype=self.dtype,
                             name=f"out3_{i}")(feat, train)
-            preds = jnp.concatenate([offset, dis, weight], axis=1)
-            preds_all.append(preds)
+            preds = jnp.concatenate([offset, dis, weight], axis=-1)
+            preds_all.append(nhwc_to_nchw(preds))
             if i < self.nstack - 1:
                 mp = HgConv(self.inp_dim, 1, relu=False, dtype=self.dtype,
                             name=f"merge_pred{i}")(preds, train)
                 mf = HgConv(self.inp_dim, 1, relu=False, dtype=self.dtype,
                             name=f"merge_feat{i}")(feat, train)
                 x = x + mp + mf
-        return preds_all, hg
+        return preds_all, nhwc_to_nchw(hg)

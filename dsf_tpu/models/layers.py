@@ -1,9 +1,21 @@
-"""Torch-semantics building blocks in Flax.
+"""Torch-semantics building blocks in Flax — NHWC-native.
 
 Padding / stride / norm conventions are matched to the torch modules the
 reference uses so that (a) converted checkpoints are bit-compatible and
-(b) training dynamics line up.  NCHW layout throughout (matches the
-reference and keeps channel dims on the lane axis for TPU convs).
+(b) training dynamics line up.
+
+Layout: every block here takes and returns **NHWC** activations.  TPU
+convolutions want channels on the minor (lane) axis; round-2 profiling
+showed the per-layer NCHW<->NHWC transpose pairs around every
+Conv/BN/Deconv (with NCHW elementwise ops between them) kept XLA from
+settling on one layout — convs were 54% of the 163 ms step at low MXU
+utilization.  Models are NHWC end-to-end internally and convert at the
+graph boundary only (`nchw_to_nhwc` at entry, `nhwc_to_nchw` at exit),
+so the framework-facing API (images (B, C, H, W), codec features
+(B, 4J, S, S)) is unchanged.
+
+Weight layout is unaffected: Flax conv kernels are HWIO for any data
+layout, so torch_import converters need no changes.
 """
 
 from __future__ import annotations
@@ -13,6 +25,14 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+
+def nchw_to_nhwc(x):
+    return x.transpose(0, 2, 3, 1)
+
+
+def nhwc_to_nchw(x):
+    return x.transpose(0, 3, 1, 2)
 
 
 def kaiming_out_init(key, shape, dtype=jnp.float32):
@@ -28,7 +48,7 @@ def normal001_init(key, shape, dtype=jnp.float32):
 
 
 class Conv(nn.Module):
-    """torch nn.Conv2d equivalent (NCHW)."""
+    """torch nn.Conv2d equivalent (NHWC)."""
     features: int
     kernel: int
     stride: int = 1
@@ -46,11 +66,11 @@ class Conv(nn.Module):
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
             dtype=self.dtype, name="conv",
-        )(x.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+        )(x)
 
 
 class BatchNorm(nn.Module):
-    """torch nn.BatchNorm2d(momentum=0.1) equivalent for NCHW input.
+    """torch nn.BatchNorm2d(momentum=0.1) equivalent for NHWC input.
 
     Optional cross-device stat sync via ``axis_name`` (the reference is
     single-GPU BN with batch 32; under DP keep per-device batch 32 to
@@ -62,12 +82,11 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        y = nn.BatchNorm(
+        return nn.BatchNorm(
             use_running_average=not train,
             momentum=self.momentum, epsilon=1e-5,
             axis_name=self.axis_name, dtype=self.dtype, name="bn",
-        )(x.transpose(0, 2, 3, 1))
-        return y.transpose(0, 3, 1, 2)
+        )(x)
 
 
 class ConvTranspose(nn.Module):
@@ -94,20 +113,29 @@ class ConvTranspose(nn.Module):
             padding=((k - 1 - p, k - 1 - p + op),) * 2,
             use_bias=self.use_bias, kernel_init=self.kernel_init,
             transpose_kernel=True, dtype=self.dtype, name="deconv",
-        )(x.transpose(0, 2, 3, 1)).transpose(0, 3, 1, 2)
+        )(x)
 
 
 def max_pool_3x3_s2(x):
-    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NCHW."""
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1) on NHWC."""
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
-        window_dimensions=(1, 1, 3, 3), window_strides=(1, 1, 2, 2),
-        padding=((0, 0), (0, 0), (1, 1), (1, 1)))
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+def max_pool(x, k, s=None, pad=0):
+    """torch MaxPool2d(k, stride=s, padding=pad) on NHWC."""
+    s = k if s is None else s
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, k, k, 1), window_strides=(1, s, s, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)))
 
 
 def adaptive_avg_pool_1(x):
-    """torch AdaptiveAvgPool2d(1) + flatten on NCHW."""
-    return x.mean(axis=(-1, -2))
+    """torch AdaptiveAvgPool2d(1) + flatten on NHWC -> (B, C)."""
+    return x.mean(axis=(1, 2))
 
 
 class ConvBNRelu(nn.Module):

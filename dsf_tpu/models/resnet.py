@@ -1,4 +1,4 @@
-"""ResNet blocks (ref: model/resnet.py:18-98) in Flax, NCHW."""
+"""ResNet blocks (ref: model/resnet.py:18-98) in Flax, NHWC."""
 
 from __future__ import annotations
 
@@ -108,20 +108,17 @@ class RefineNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import jax
-        import jax.numpy as jnp
-        from dsf_tpu.models.layers import Conv
+        from dsf_tpu.models.layers import (Conv, max_pool, nchw_to_nhwc,
+                                           nhwc_to_nchw)
+        x = nchw_to_nhwc(x)
         x = Conv(8, 5, 1, 2, use_bias=True, dtype=self.dtype, name="c1")(x)
         x = nn.relu(x)
-        x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
-                                  (1, 1, 4, 4), (1, 1, 4, 4),
-                                  ((0, 0),) * 4)
+        x = max_pool(x, 4)
         x = Conv(8, 3, 1, 1, use_bias=True, dtype=self.dtype, name="c2")(x)
-        x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
-                                  (1, 1, 2, 2), (1, 1, 2, 2),
-                                  ((0, 0),) * 4)
+        x = max_pool(x, 2)
         x = nn.relu(x)
-        x = x.reshape(x.shape[0], -1)
+        # flatten in torch (C, H, W) order so converted fc weights match
+        x = nhwc_to_nchw(x).reshape(x.shape[0], -1)
         x = nn.relu(nn.Dense(128, name="fc1")(x))
         return nn.Dense(3, name="fc2")(x)
 
@@ -136,8 +133,9 @@ class ResNet18Regressor(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         from dsf_tpu.models.layers import (Conv, BatchNorm, max_pool_3x3_s2,
-                                           adaptive_avg_pool_1)
+                                           adaptive_avg_pool_1, nchw_to_nhwc)
         import flax.linen as fnn
+        x = nchw_to_nhwc(x)
         x = Conv(64, 5, 1, 2, dtype=self.dtype, name="pre_conv")(x)
         x = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
                       name="pre_bn")(x, train)

@@ -23,10 +23,10 @@ def test_conv_transpose_matches_torch_k4s2p1():
     expected = tconv(torch.from_numpy(x)).detach().numpy()
 
     mod = L.ConvTranspose(features=4, kernel=4, stride=2, padding=1)
-    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
-    # flax kernel (kh, kw, in, out) with transpose_kernel=True
+    # flax kernel (kh, kw, in, out) with transpose_kernel=True; data NHWC
     params = {"params": {"deconv": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}}}
-    got = np.asarray(mod.apply(params, jnp.asarray(x)))
+    got = np.asarray(mod.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    got = got.transpose(0, 3, 1, 2)
     assert got.shape == expected.shape == (2, 4, 32, 32)
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
 
@@ -46,7 +46,8 @@ def test_conv_transpose_matches_torch_k3s2p1op1():
     mod = L.ConvTranspose(features=3, kernel=3, stride=2, padding=1,
                           output_padding=1)
     params = {"params": {"deconv": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0))}}}
-    got = np.asarray(mod.apply(params, jnp.asarray(x)))
+    got = np.asarray(mod.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    got = got.transpose(0, 3, 1, 2)
     assert got.shape == expected.shape == (1, 3, 20, 20)
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
 
@@ -56,7 +57,8 @@ def test_maxpool_matches_torch():
     rng = np.random.RandomState(2)
     x = rng.randn(1, 3, 9, 9).astype(np.float32)
     expected = torch.nn.MaxPool2d(3, 2, 1)(torch.from_numpy(x)).numpy()
-    got = np.asarray(L.max_pool_3x3_s2(jnp.asarray(x)))
+    got = np.asarray(L.max_pool_3x3_s2(
+        jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, expected, atol=1e-6)
 
 
