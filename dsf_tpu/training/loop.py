@@ -187,60 +187,78 @@ def _test_view(tr, state, cfg, view, run_dir=None):
                                       or cfg.save_obj)
     files = {}
     if export:
+        # reference file set (train_render.py:320-325): result_{i}_{view}
+        # for i in 0..2S-1 (only 0 and 1 are written — the save block sits
+        # outside the stage loop and uses the LAST stage's outputs), plus
+        # MANO/mesh/coll files named with index 2S-1.
         s = cfg.stage_num * 2 - 1
         if cfg.save_obj:
             os.makedirs(os.path.join(run_dir, "obj"), exist_ok=True)
         if cfg.save_result:
-            files["r0"] = open(os.path.join(run_dir, f"result_0_{view}.txt"), "w")
-            files["r1"] = open(os.path.join(run_dir, f"result_1_{view}.txt"), "w")
+            for i in range(cfg.stage_num * 2):
+                files[f"r{i}"] = open(
+                    os.path.join(run_dir, f"result_{i}_{view}.txt"), "w")
         if cfg.save_mesh:
             files["mesh"] = open(
                 os.path.join(run_dir, f"mesh_result_{s}_{view}.txt"), "w")
             files["mano"] = open(
                 os.path.join(run_dir, f"MANO_result_{s}_{view}.txt"), "w")
+            files["coll"] = open(
+                os.path.join(run_dir, f"coll_{s}_{view}.txt"), "w")
 
     step = tr.eval_step_fn()
     totals, n = None, 0
     from dsf_tpu.parallel import mesh as pmesh
+    # drop_last=False + pad-and-mask: the reference's test DataLoader keeps
+    # the tail batch (train_render.py:332, default drop_last=False) and the
+    # NYU protocol expects all 8,252 export rows per view.  The step runs
+    # at a fixed batch size (one compiled graph); short tails are padded by
+    # repeating the last row and masked out of errors/exports.
     for b in ds.prefetch_batches(cfg.batch_size, shuffle=False,
-                                 drop_last=True):
+                                 drop_last=False):
+        valid = len(b["img"])
+        if valid < cfg.batch_size:
+            pad = cfg.batch_size - valid
+            b = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                 for k, v in b.items()}
         batch = {k: jnp.asarray(v) for k, v in b.items()
                  if k in ("img", "xyz_gt", "center", "M", "cube")}
         batch = pmesh.shard_batch(tr.mesh, batch)
         errors, results = step(state.params, state.batch_stats, batch)
-        errors = np.asarray(errors)
-        totals = errors if totals is None else totals + errors
-        n += 1
+        errors = np.asarray(errors)[:, :valid]          # (2*stages, valid)
+        totals = errors.sum(-1) if totals is None else totals + errors.sum(-1)
+        n += valid
         if export:
-            B = cfg.batch_size
-            center = np.asarray(batch["center"])[:, None]
-            cube = np.asarray(batch["cube"])[:, None]
+            center = np.asarray(batch["center"])[:valid, None]
+            cube = np.asarray(batch["cube"])[:valid, None]
             last = cfg.stage_num - 1
             if cfg.save_result:
                 for key, fh in (("joint_xyz_%d" % last, files["r0"]),
                                 ("mano_joint_xyz_%d" % last, files["r1"])):
-                    world = np.asarray(results[key]) * cube / 2 + center
+                    world = np.asarray(results[key])[:valid] * cube / 2 + center
                     uvd = C.joint_3d_to_img(world, ds.paras, ds.flip)
                     if cfg.dataset == "icvl":
                         # ICVL exports un-flip u (ref train_render.py:857-860)
                         uvd[:, :, 0] = ds.ori_img_size[0] - uvd[:, :, 0]
-                    np.savetxt(fh, uvd.reshape(B, -1), fmt="%.3f")
+                    np.savetxt(fh, uvd.reshape(valid, -1), fmt="%.3f")
             if cfg.save_mesh:
-                mesh_world = (np.asarray(results[f"mano_mesh_{last}"])
+                mesh_world = (np.asarray(results[f"mano_mesh_{last}"])[:valid]
                               * cube / 2 + center)
-                np.savetxt(files["mesh"], mesh_world.reshape(B, -1), fmt="%.3f")
+                np.savetxt(files["mesh"], mesh_world.reshape(valid, -1),
+                           fmt="%.3f")
                 np.savetxt(files["mano"],
-                           np.asarray(results[f"mano_para_{last}"]),
+                           np.asarray(results[f"mano_para_{last}"])[:valid],
                            fmt="%.3f")
             if cfg.save_obj:
                 # per-sample .obj dumps (ref train_render.py:391-393)
                 from dsf_tpu.utils.vis import save_obj
-                mesh_world = (np.asarray(results[f"mano_mesh_{last}"])
+                mesh_world = (np.asarray(results[f"mano_mesh_{last}"])[:valid]
                               * cube / 2 + center)
                 faces = np.asarray(tr.renderer.mano.faces)
+                batch_index = (n - valid) // cfg.batch_size
                 for bi in range(mesh_world.shape[0]):
                     save_obj(os.path.join(
-                        run_dir, "obj", f"{view}_{n - 1}_{bi}.obj"),
+                        run_dir, "obj", f"{view}_{batch_index}_{bi}.obj"),
                         mesh_world[bi], faces)
     for fh in files.values():
         fh.close()

@@ -247,20 +247,35 @@ class Trainer:
                                             batch["cube"], r.paras,
                                             cfg.input_size, r.flip)
                 mano_jxyz, mano_mesh = rnd.get_mesh_xyz(r, para_pd)
+                # per-sample errors so callers can mask padded eval rows
+                # (drop_last=False protocol — all 8,252 NYU frames count)
                 e0 = phases.xyz2error_mm(jxyz[:, tm][:, :n_eval],
                                          batch["xyz_gt"][:, :n_eval],
                                          batch["center"], batch["cube"],
-                                         dataset=cfg.dataset)
+                                         keep_batch=True, dataset=cfg.dataset)
                 e1 = phases.xyz2error_mm(mano_jxyz[:, tm][:, :n_eval],
                                          batch["xyz_gt"][:, :n_eval],
                                          batch["center"], batch["cube"],
-                                         dataset=cfg.dataset)
+                                         keep_batch=True, dataset=cfg.dataset)
+                if cfg.dataset == "msra":
+                    # MSRA's scalar mean skips the wrist (ref :852-854);
+                    # keep that semantics in the per-sample reduction
+                    ej0 = phases.xyz2error_mm(
+                        jxyz[:, tm][:, :n_eval], batch["xyz_gt"][:, :n_eval],
+                        batch["center"], batch["cube"], keep_joint=True,
+                        dataset=cfg.dataset)
+                    ej1 = phases.xyz2error_mm(
+                        mano_jxyz[:, tm][:, :n_eval],
+                        batch["xyz_gt"][:, :n_eval],
+                        batch["center"], batch["cube"], keep_joint=True,
+                        dataset=cfg.dataset)
+                    e0, e1 = ej0[:, 1:].mean(-1), ej1[:, 1:].mean(-1)
                 errors += [e0, e1]
                 results[f"joint_xyz_{idx}"] = jxyz
                 results[f"mano_joint_xyz_{idx}"] = mano_jxyz
                 results[f"mano_mesh_{idx}"] = mano_mesh
                 results[f"mano_para_{idx}"] = para_pd
-            return jnp.stack(errors), results
+            return jnp.stack(errors), results           # (2*stages, B)
 
         jitted = jax.jit(step)
         self._jit_cache["eval"] = jitted
@@ -272,9 +287,9 @@ class Trainer:
         for batch in batches:
             batch = pmesh.shard_batch(self.mesh, batch)
             errors, _ = step(state.params, state.batch_stats, batch)
-            errors = np.asarray(errors)
-            totals = errors if totals is None else totals + errors
-            n += 1
+            errors = np.asarray(errors)                 # (2*stages, B)
+            totals = errors.sum(-1) if totals is None else totals + errors.sum(-1)
+            n += errors.shape[-1]
         return totals / max(n, 1)
 
     # -------------------------------------------------------------- fit
