@@ -178,12 +178,23 @@ class NYUDataset(BaseDataset):
 
 class ICVLDataset(BaseDataset):
     """ICVL with the left->right flip (ref: flip_icvl_loader,
-    render_loader.py:2305-2455).  Expects {root}/[Training|Testing]
-    layout with centers and label txts."""
+    render_loader.py:2305-2455).
+
+    Primary layout is the reference's: {root}/train.txt or
+    {root}/test_seq_1.txt + test_seq_2.txt, {root}/center_{phase}_refined.txt,
+    images under {root}/Depth/.  The TEST list is filtered to the
+    protocol subsequences exactly as the reference does
+    (render_loader.py:2421-2433, subSeq=['0'] unless full_img): frames
+    whose first path component is a long (>6 char) sequence name pass,
+    short-named subsequence dirs pass only when listed in subSeq; frames
+    with 'invalid' refined centers or missing image files are skipped.
+    Falls back to a {root}/[Training|Testing]/labels.txt layout.
+    """
 
     def __init__(self, root_dir, phase, img_size=128,
                  cube_size=(200, 200, 200), center_type="refine",
-                 aug_para=(10, 0.2, 180), seed=0):
+                 aug_para=(10, 0.2, 180), seed=0, full_img=False,
+                 sub_seq=("0",)):
         self.paras = (240.99, 240.96, 160.0, 120.0)
         self.ori_img_size = (320, 240)
         self.flip = 1.0
@@ -194,38 +205,96 @@ class ICVLDataset(BaseDataset):
         self.rng = np.random.RandomState(seed)
         self.root_dir = root_dir
 
-        phase_dir = "Training" if phase == "train" else "Testing"
-        label_path = os.path.join(root_dir, phase_dir, "labels.txt")
-        center_path = os.path.join(root_dir, phase_dir,
-                                   f"center_{phase}_refined.txt")
-        self.img_names = []
-        uvds = []
-        with open(label_path) as f:
-            for line in f:
-                parts = line.strip().split()
-                if len(parts) < 1 + 16 * 3:
-                    continue
-                self.img_names.append(parts[0])
-                uvds.append(np.asarray(parts[1:1 + 48], np.float32).reshape(16, 3))
-        self.all_joints_uvd = np.stack(uvds) if uvds else np.zeros((0, 16, 3))
+        if os.path.exists(os.path.join(root_dir, "train.txt")) or \
+                os.path.exists(os.path.join(root_dir, "test_seq_1.txt")):
+            names, uvds, centers = self._read_reference_layout(
+                root_dir, phase, full_img, sub_seq)
+        else:
+            names, uvds, centers = self._read_flat_layout(root_dir, phase)
+        self.img_names = names
+        self.all_joints_uvd = (np.stack(uvds).astype(np.float32)
+                               if uvds else np.zeros((0, 16, 3), np.float32))
         # LR flip of u (image flipped at read time)
         self.all_joints_uvd[:, :, 0] = \
             self.ori_img_size[0] - self.all_joints_uvd[:, :, 0]
         self.all_joints_xyz = C.joint_img_to_3d(
             self.all_joints_uvd, self.paras, self.flip)
-        if center_type == "refine" and os.path.exists(center_path):
-            self.center_xyz = np.loadtxt(center_path).astype(np.float32)
+        if center_type == "refine" and centers is not None:
+            self.center_xyz = np.asarray(centers, np.float32).reshape(-1, 3)
+            # the reference re-projects the center and flips u around
+            # cx=160 (render_loader.py:2338-2341) == negating x
             self.center_xyz[:, 0] = -self.center_xyz[:, 0]
         else:
             self.center_xyz = self.all_joints_xyz.mean(1)
+
+    def _read_reference_layout(self, root_dir, phase, full_img, sub_seq):
+        """ref: flip_icvl_loader.read_joints (render_loader.py:2399-2453)."""
+        if phase == "train":
+            with open(os.path.join(root_dir, "train.txt")) as f:
+                lines = f.read().splitlines()
+            center_path = os.path.join(root_dir, "center_train_refined.txt")
+        else:
+            lines = []
+            for seq in ("test_seq_1.txt", "test_seq_2.txt"):
+                with open(os.path.join(root_dir, seq)) as f:
+                    lines += f.read().splitlines()
+            lines = [ln for ln in lines if ln]
+            center_path = os.path.join(root_dir, "center_test_refined.txt")
+        center_lines = None
+        if os.path.exists(center_path):
+            with open(center_path) as f:
+                center_lines = f.readlines()
+
+        names, uvds, centers = [], [], []
+        sub_seq = list(sub_seq)
+        for index, line in enumerate(lines):
+            strs = line.split()
+            p = strs[0].split("/")
+            if not full_img:
+                # subsequence protocol filter (ref :2425-2433)
+                if ("0" in sub_seq) and len(p[0]) > 6:
+                    pass
+                elif (p[0] in sub_seq) and len(p[0]) <= 6:
+                    pass
+                else:
+                    continue
+            img_path = os.path.join(root_dir, "Depth", strs[0])
+            if not os.path.isfile(img_path):
+                continue
+            if center_lines is not None:
+                cstr = center_lines[index].split()
+                if cstr[0] == "invalid":
+                    continue
+                centers.append([float(v) for v in cstr])
+            names.append(img_path)
+            uvds.append(np.asarray(strs[1:1 + 48], np.float32).reshape(16, 3))
+        return names, uvds, (centers if center_lines is not None else None)
+
+    def _read_flat_layout(self, root_dir, phase):
+        phase_dir = "Training" if phase == "train" else "Testing"
+        label_path = os.path.join(root_dir, phase_dir, "labels.txt")
+        center_path = os.path.join(root_dir, phase_dir,
+                                   f"center_{phase}_refined.txt")
+        names, uvds = [], []
+        with open(label_path) as f:
+            for line in f:
+                parts = line.strip().split()
+                if len(parts) < 1 + 16 * 3:
+                    continue
+                names.append(os.path.join(root_dir, phase_dir, "Depth",
+                                          parts[0]))
+                uvds.append(np.asarray(parts[1:1 + 48],
+                                       np.float32).reshape(16, 3))
+        centers = None
+        if os.path.exists(center_path):
+            centers = np.loadtxt(center_path).astype(np.float32)
+        return names, uvds, centers
 
     def __len__(self):
         return len(self.img_names)
 
     def __getitem__(self, index):
-        phase_dir = "Training" if self.phase == "train" else "Testing"
-        img_path = os.path.join(self.root_dir, phase_dir, "Depth",
-                                self.img_names[index])
+        img_path = self.img_names[index]
         depth = readers.icvl_reader(img_path)
         depth = depth[:, ::-1].copy()               # LR flip (ref :2331-2341)
 
@@ -278,7 +347,8 @@ class MSRADataset(BaseDataset):
                 "MP", "RP", "T", "TIP", "Y"]
 
     def __init__(self, root_dir, phase, test_persons=0, img_size=128,
-                 center_type="refine", aug_para=(10, 0.2, 180), seed=0):
+                 center_type="refine", aug_para=(10, 0.2, 180), seed=0,
+                 write_record=False):
         self.paras = (241.42, 241.42, 160.0, 120.0)
         self.ori_img_size = (320, 240)
         self.flip = 1.0
@@ -291,6 +361,7 @@ class MSRADataset(BaseDataset):
         persons = ([test_persons] if phase == "test"
                    else [p for p in range(9) if p != test_persons])
         self.files = []
+        self.rel_files = []
         self.cubes = []
         self.joints_xyz = []
         for p in persons:
@@ -307,16 +378,43 @@ class MSRADataset(BaseDataset):
                     n = int(f.readline())
                     data = np.loadtxt(f).reshape(n, 21, 3)
                 # world->our convention: y and z negated in the raw file
+                # (ref negates z then runs the flip=-1/flip=1 uvd roundtrip
+                # which negates y, render_loader.py:2507-2512)
                 data[:, :, 1] = -data[:, :, 1]
                 data[:, :, 2] = -data[:, :, 2]
                 for i in range(n):
                     self.files.append(os.path.join(gdir, f"{i:06d}_depth.bin"))
+                    self.rel_files.append(f"P{p}/{g}/{i:06d}_depth.bin")
                     self.cubes.append(cube)
                     self.joints_xyz.append(data[i])
         self.joints_xyz = (np.stack(self.joints_xyz).astype(np.float32)
                            if self.joints_xyz else np.zeros((0, 21, 3), np.float32))
+        if write_record:
+            # ref writes ./msra_record_list.txt + ./msra_label.txt at init
+            # (render_loader.py:2467,2492-2495); opt-in, into root_dir
+            with open(os.path.join(root_dir, "msra_record_list.txt"),
+                      "w") as f:
+                f.write("".join(r + "\r\n" for r in self.rel_files))
+            uvd = C.joint_3d_to_img(self.joints_xyz, self.paras, self.flip)
+            np.savetxt(os.path.join(root_dir, "msra_label.txt"),
+                       uvd.reshape(len(uvd), -1), fmt="%.3f")
+
+        # refined centers (ref: render_loader.py:2495-2500): a per-split
+        # center file with the NYU-style y-negation roundtrip; fall back
+        # to joint-mean when absent or center_type != 'refine'
         self.center_xyz = (self.joints_xyz.mean(1)
                            if len(self.joints_xyz) else np.zeros((0, 3)))
+        center_path = os.path.join(
+            root_dir, f"center_{phase}_{int(test_persons)}_refined.txt")
+        if center_type == "refine" and os.path.exists(center_path):
+            raw = np.loadtxt(center_path).astype(np.float32).reshape(-1, 3)
+            uvd = C.joint_3d_to_img(raw, self.paras, -1.0)
+            self.center_xyz = C.joint_img_to_3d(
+                uvd, self.paras, self.flip).astype(np.float32)
+            if len(self.center_xyz) != len(self.files):
+                raise ValueError(
+                    f"center file rows {len(self.center_xyz)} != frames "
+                    f"{len(self.files)} ({center_path})")
 
     def __len__(self):
         return len(self.files)

@@ -1,0 +1,139 @@
+"""Eval-protocol loader tests: ICVL test subsequence filter
+(ref render_loader.py:2421-2433) and MSRA refined-center files
+(ref render_loader.py:2495-2500)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dsf_tpu.data import crop as C
+from dsf_tpu.data.datasets import ICVLDataset, MSRADataset
+
+ICVL_PARAS = (240.99, 240.96, 160.0, 120.0)
+MSRA_PARAS = (241.42, 241.42, 160.0, 120.0)
+
+
+def _write_icvl_png(path, value=500):
+    from PIL import Image
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    img = np.full((240, 320), value, np.int32)
+    Image.fromarray(img.astype(np.int32), mode="I").save(path)
+
+
+def _icvl_line(name, base=200.0):
+    uvd = np.tile([160.0, 120.0, base], (16, 1))
+    return name + " " + " ".join(f"{v:.2f}" for v in uvd.ravel())
+
+
+@pytest.fixture
+def icvl_root(tmp_path):
+    root = tmp_path / "icvl"
+    lines = [
+        _icvl_line("201403121135/image_0001.png"),  # long seq name: keep
+        _icvl_line("22/image_0002.png"),            # short, not in subSeq: drop
+        _icvl_line("0/image_0003.png"),             # subSeq '0': keep
+        _icvl_line("201403121135/image_0004.png"),  # center invalid: drop
+        _icvl_line("201403121135/image_0005.png"),  # image missing: drop
+    ]
+    (root / "Depth").mkdir(parents=True)
+    for name in ("201403121135/image_0001.png", "22/image_0002.png",
+                 "0/image_0003.png", "201403121135/image_0004.png"):
+        _write_icvl_png(str(root / "Depth" / name))
+    (root / "test_seq_1.txt").write_text("\n".join(lines[:3]) + "\n")
+    (root / "test_seq_2.txt").write_text("\n".join(lines[3:]) + "\n\n")
+    centers = ["100.0 50.0 400.0", "101.0 51.0 401.0", "102.0 52.0 402.0",
+               "invalid invalid invalid", "104.0 54.0 404.0"]
+    (root / "center_test_refined.txt").write_text("\n".join(centers) + "\n")
+    return str(root)
+
+
+def test_icvl_subsequence_filter(icvl_root):
+    ds = ICVLDataset(icvl_root, "test")
+    # only the long-named frame and the '0'-subsequence frame survive
+    assert len(ds) == 2
+    names = [os.path.relpath(p, os.path.join(icvl_root, "Depth"))
+             for p in ds.img_names]
+    assert names == ["201403121135/image_0001.png", "0/image_0003.png"]
+    # refined center x is negated (u-flip around cx=160)
+    np.testing.assert_allclose(ds.center_xyz[0], [-100.0, 50.0, 400.0])
+    item = ds[0]
+    assert item["img"].shape == (1, 128, 128)
+    assert np.isfinite(item["xyz_gt"]).all()
+
+
+def test_icvl_full_img_keeps_short_sequences(icvl_root):
+    ds = ICVLDataset(icvl_root, "test", full_img=True)
+    # filter off: only invalid-center and missing-file rows drop
+    assert len(ds) == 3
+
+
+def _write_msra_bin(path, z=400.0):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    w, h = 320, 240
+    left, top, right, bottom = 140, 100, 180, 140
+    patch = np.full((bottom - top, right - left), z, np.float32)
+    with open(path, "wb") as f:
+        np.asarray([w, h, left, top, right, bottom], np.uint32).tofile(f)
+        patch.tofile(f)
+
+
+@pytest.fixture
+def msra_root(tmp_path):
+    root = tmp_path / "msra"
+    rng = np.random.RandomState(0)
+    joints = rng.uniform(-40, 40, (2, 21, 3)).astype(np.float32)
+    joints[:, :, 2] = -(400.0 + joints[:, :, 2])    # raw file stores -z
+    joints[:, :, 1] = -joints[:, :, 1]              # and -y (flip roundtrip)
+    gdir = root / "P0" / "1"
+    gdir.mkdir(parents=True)
+    with open(gdir / "joint.txt", "w") as f:
+        f.write("2\n")
+        for j in joints:
+            f.write(" ".join(f"{v:.4f}" for v in j.ravel()) + "\n")
+    for i in range(2):
+        _write_msra_bin(str(gdir / f"{i:06d}_depth.bin"))
+    return str(root), joints
+
+
+def test_msra_refined_center_file(msra_root):
+    root, raw = msra_root
+    # center file stores NYU-convention rows: loader applies the
+    # flip=-1 project / flip=1 unproject roundtrip == y negation
+    centers = np.asarray([[10.0, 20.0, 400.0], [-5.0, 15.0, 410.0]],
+                         np.float32)
+    np.savetxt(os.path.join(root, "center_test_0_refined.txt"), centers)
+    ds = MSRADataset(root, "test", test_persons=0, center_type="refine")
+    assert len(ds) == 2
+    expect = centers.copy()
+    expect[:, 1] = -expect[:, 1]
+    np.testing.assert_allclose(ds.center_xyz, expect, atol=1e-4)
+    item = ds[0]
+    assert item["img"].shape == (1, 128, 128)
+
+
+def test_msra_center_type_joint_mean(msra_root):
+    root, _ = msra_root
+    centers = np.asarray([[10.0, 20.0, 400.0], [-5.0, 15.0, 410.0]])
+    np.savetxt(os.path.join(root, "center_test_0_refined.txt"), centers)
+    ds = MSRADataset(root, "test", test_persons=0, center_type="joint_mean")
+    np.testing.assert_allclose(ds.center_xyz, ds.joints_xyz.mean(1),
+                               atol=1e-5)
+
+
+def test_msra_center_file_length_mismatch_raises(msra_root):
+    root, _ = msra_root
+    np.savetxt(os.path.join(root, "center_test_0_refined.txt"),
+               np.zeros((5, 3)))
+    with pytest.raises(ValueError):
+        MSRADataset(root, "test", test_persons=0, center_type="refine")
+
+
+def test_msra_write_record(msra_root):
+    root, _ = msra_root
+    MSRADataset(root, "test", test_persons=0, center_type="joint_mean",
+                write_record=True)
+    recs = open(os.path.join(root, "msra_record_list.txt")).read()
+    assert "P0/1/000000_depth.bin" in recs
+    labels = np.loadtxt(os.path.join(root, "msra_label.txt"))
+    assert labels.shape == (2, 63)
