@@ -31,18 +31,19 @@ def generate_pseudo_labels(trainer, state, dataset, out_dir,
     net, r, cfg = trainer.net, trainer.renderer, trainer.cfg
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    def forward(img_aug):
-        # dummy center/cube for the stage-2 input render (the pixel
-        # feature head is what TTA averages)
-        B = img_aug.shape[0]
-        center = jnp.tile(jnp.asarray([[0.0, 0.0, 750.0]]), (B, 1))
-        cube = jnp.full((B, 3), float(cfg.cube_size[0]))
+    def forward(img_aug, center, cube):
+        # each sample's REAL center/cube feeds the stage-2 input render,
+        # so the stage=-1 pixel head TTA runs on faithful features (the
+        # round-2 version used a fixed (0,0,750)/250 dummy)
         out = net.apply(variables, img_aug, r, center, cube, train=False)
         return out[stage][0].astype(jnp.float32)
 
-    check = jax.jit(lambda key, img: prediction_check(key, forward, img,
-                                                      n_aug=n_aug,
-                                                      kernel=cfg.feature_para[0]))
+    def check_fn(key, img, center, cube):
+        return prediction_check(
+            key, lambda im: forward(im, center, cube), img,
+            n_aug=n_aug, kernel=cfg.feature_para[0])
+
+    check = jax.jit(check_fn)
     joints_all, conf_all = [], []
     key = jax.random.PRNGKey(0)
     n = len(dataset)
@@ -51,8 +52,10 @@ def generate_pseudo_labels(trainer, state, dataset, out_dir,
         pad = batch_size - len(idx)
         items = [dataset[i] for i in idx] + [dataset[idx[-1]]] * pad
         img = jnp.asarray(np.stack([it["img"] for it in items]))
+        center = jnp.asarray(np.stack([it["center"] for it in items]))
+        cube = jnp.asarray(np.stack([it["cube"] for it in items]))
         key, sub = jax.random.split(key)
-        joints, conf = check(sub, img)
+        joints, conf = check(sub, img, center, cube)
         joints_all.append(np.asarray(joints)[:len(idx)])
         conf_all.append(np.asarray(conf)[:len(idx)])
     joints = np.concatenate(joints_all)

