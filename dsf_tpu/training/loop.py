@@ -63,12 +63,34 @@ def _make_datasets(cfg: Config):
 
 
 def _real_iter(ds, cfg, loop=True):
+    import jax
     import jax.numpy as jnp
+
+    def tup(b):
+        return (jnp.asarray(b["img"]), jnp.asarray(b["xyz_gt"]),
+                jnp.asarray(b["uvd_gt"]), jnp.asarray(b["center"]),
+                jnp.asarray(b["M"]), jnp.asarray(b["cube"]))
+
+    if jax.process_count() > 1:
+        # multi-host: every host loads ONLY its stripe of each global
+        # batch (identical permutation, disjoint slices — the union is
+        # the global batch); pmesh.shard_batch assembles the global
+        # array via make_array_from_process_local_data
+        from dsf_tpu.parallel import distributed
+        epoch = 0
+        while True:
+            rows = distributed.shard_dataset_indices(
+                len(ds), cfg.batch_size, seed=cfg.seed + epoch)
+            for row in rows:
+                items = [ds[i] for i in row]
+                yield tup({k: np.stack([it[k] for it in items])
+                           for k in items[0]})
+            epoch += 1
+            if not loop:
+                return
     for b in ds.prefetch_batches(cfg.batch_size, shuffle=True, loop=loop,
                                  drop_last=True):
-        yield (jnp.asarray(b["img"]), jnp.asarray(b["xyz_gt"]),
-               jnp.asarray(b["uvd_gt"]), jnp.asarray(b["center"]),
-               jnp.asarray(b["M"]), jnp.asarray(b["cube"]))
+        yield tup(b)
 
 
 def run(cfg: Config):
