@@ -96,3 +96,120 @@ def pcl_to_img(pcl_nl, feature_size, center, M, cube, paras, img_size, flip=1.0)
 
     out = jax.vmap(one)(lin, uvd[..., 2])
     return out.reshape(B, 1, feature_size, feature_size)
+
+
+# ---------------------------------------------------------------------------
+# skeleton-interpolation segmentation labelers
+# (ref: render_loader.py:1352-1480 — Joint2BKSeg / Joint2FingerSeg /
+#  Joint2JointSeg / InterpolationJoint / PCL2JointSeg)
+# ---------------------------------------------------------------------------
+
+def interpolation_joint(joints, interval):
+    """Densify the 21-joint skeleton into bone-interpolated sphere
+    centers (ref: InterpolationJoint, render_loader.py:1429-1452).
+
+    Layout (must match the label tables below): [wrist, 5 palm bones x
+    `interval` interior points, 15 finger bones x (interval+1) points
+    (parent included, child excluded)] -> (B, 1+5*interval+15*(interval+1), 3).
+    """
+    B = joints.shape[0]
+    palm_t = jnp.linspace(0.0, 1.0, interval + 2)[1:-1].reshape(1, 1, -1, 1)
+    bone_t = jnp.linspace(0.0, 1.0, interval + 2)[:-1].reshape(1, 1, -1, 1)
+    child = jnp.asarray([2, 3, 16, 5, 6, 17, 8, 9, 18, 11, 12, 19, 14, 15, 20])
+
+    palm_child = joints[:, jnp.asarray([1, 4, 7, 10, 13])]
+    wrist = joints[:, 0:1]
+    palm = (palm_child - wrist)[:, :, None] * palm_t + wrist[:, :, None]
+    palm = jnp.concatenate([wrist, palm.reshape(B, -1, 3)], axis=1)
+
+    fparent = joints[:, 1:16]
+    fbone = (joints[:, child] - fparent)[:, :, None] * bone_t \
+        + fparent[:, :, None]
+    return jnp.concatenate([palm, fbone.reshape(B, -1, 3)], axis=1)
+
+
+def _finger_label_table(interval):
+    """argmin sphere index -> finger part id: 0 palm, 1..5 fingers."""
+    import numpy as np
+    n = 1 + 5 * interval + 15 * (interval + 1)
+    table = np.zeros(n, np.int32)
+    start = 5 * interval + 1
+    block = 3 * (interval + 1)
+    for f in range(5):
+        table[start + f * block:start + (f + 1) * block] = f + 1
+    return table
+
+
+def _joint_label_table(interval):
+    """argmin sphere index -> joint part id: 0 palm, f*3+1..3 finger
+    segments, 16..20 tips.  Equivalent to the reference's sequential
+    where-chain (render_loader.py:1395-1424) for interval >= 4, where
+    that chain's written labels cannot collide with later ranges."""
+    import numpy as np
+    n = 1 + 5 * interval + 15 * (interval + 1)
+    table = np.zeros(n, np.int32)
+    start = 5 * interval + 1
+    block = 3 * (interval + 1)
+    h = interval // 2 + 1
+    for f in range(5):
+        s = start + f * block
+        table[s:s + h] = f * 3 + 1
+        table[s + h:s + h + interval] = f * 3 + 2
+        table[s + h + interval:s + h + 2 * interval] = f * 3 + 3
+        table[s + h + 2 * interval:s + block] = 16 + f
+    return table
+
+
+def joint_to_bk_seg(img, joint_nl, center, M, cube, paras, img_size,
+                    flip=1.0, offset=20.0, hand_thickness=20.0):
+    """Binary hand/background labels from the skeleton AABB
+    (ref: Joint2BKSeg, render_loader.py:1352-1371) -> (B, S, S) int32."""
+    skel = joint_nl * cube[:, None] / 2.0 + center[:, None]
+    mins = skel.min(axis=1) - jnp.asarray([offset, offset,
+                                           offset + hand_thickness])
+    maxs = skel.max(axis=1) + jnp.asarray([offset, offset, offset])
+    xyz, _ = uvd_img_to_xyz_img(img, center, M, cube, paras, img_size, flip)
+    inside = ((xyz > mins[:, :, None, None]) &
+              (xyz < maxs[:, :, None, None])).all(axis=1, keepdims=True)
+    return (inside & (img < 0.99)).astype(jnp.int32).squeeze(1)
+
+
+def _nearest_sphere(points, spheres):
+    """(B,N,3) x (B,K,3) -> (B,N) argmin over K (euclidean)."""
+    d2 = jnp.sum((points[:, :, None] - spheres[:, None]) ** 2, axis=-1)
+    return jnp.argmin(d2, axis=-1)
+
+
+def joint_to_finger_seg(img, joint_nl, center, M, cube, paras, img_size,
+                        interval, mask, flip=1.0):
+    """Per-pixel finger labels: 0 palm, 1..5 fingers, 6 background
+    (ref: Joint2FingerSeg, render_loader.py:1373-1393)."""
+    skel = interpolation_joint(joint_nl, interval) * cube[:, None] / 2.0 \
+        + center[:, None]
+    xyz, _ = uvd_img_to_xyz_img(img, center, M, cube, paras, img_size, flip)
+    B, _, S, _ = xyz.shape
+    idx = _nearest_sphere(xyz.reshape(B, 3, -1).transpose(0, 2, 1), skel)
+    seg = jnp.asarray(_finger_label_table(interval))[idx].reshape(B, S, S)
+    return jnp.where(mask > 0, seg, 6)
+
+
+def joint_to_joint_seg(img, joint_nl, center, M, cube, paras, img_size,
+                       interval, mask, flip=1.0):
+    """Per-pixel joint-segment labels: 0 palm, f*3+1..3, tips 16..20,
+    background 21 (ref: Joint2JointSeg, render_loader.py:1395-1424)."""
+    skel = interpolation_joint(joint_nl, interval) * cube[:, None] / 2.0 \
+        + center[:, None]
+    xyz, _ = uvd_img_to_xyz_img(img, center, M, cube, paras, img_size, flip)
+    B, _, S, _ = xyz.shape
+    idx = _nearest_sphere(xyz.reshape(B, 3, -1).transpose(0, 2, 1), skel)
+    seg = jnp.asarray(_joint_label_table(interval))[idx].reshape(B, S, S)
+    return jnp.where(mask > 0, seg, 21)
+
+
+def pcl_to_joint_seg(pcl, joint, interval, mask):
+    """Per-point joint-segment labels (ref: PCL2JointSeg,
+    render_loader.py:1454-1480); pcl and joint share the caller's space."""
+    skel = interpolation_joint(joint, interval)
+    idx = _nearest_sphere(pcl, skel)
+    seg = jnp.asarray(_joint_label_table(interval))[idx]
+    return jnp.where(mask > 0, seg, 21)
