@@ -25,6 +25,13 @@ class BaseDataset:
     paras: tuple
     ori_img_size: tuple
     flip: float = 1.0
+    # item-fetch worker threads (the reference feeds its GPU from 4
+    # dataloader worker PROCESSES + a prefetch thread,
+    # train_render.py:33-35; cv2 decode/warp and most numpy ops release
+    # the GIL, so threads scale the same work here).  Capped at the
+    # host's core count — on single-core hosts the pool is bypassed
+    # entirely (threads only add overhead there).
+    NUM_WORKERS = max(1, min(8, os.cpu_count() or 1))
 
     def __len__(self):
         raise NotImplementedError
@@ -32,7 +39,42 @@ class BaseDataset:
     def __getitem__(self, i):
         raise NotImplementedError
 
+    def _worker_pool(self):
+        pool = getattr(self, "_pool", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=self.NUM_WORKERS)
+            self._pool = pool
+        return pool
+
+    def _thread_rng(self):
+        """Per-thread augmentation RNG: RandomState is not thread-safe,
+        so each worker gets its own stream seeded from the dataset seed
+        + a monotonically assigned thread ordinal (epoch-varying, like
+        the reference's per-worker loader RNGs)."""
+        tl = getattr(self, "_tlocal", None)
+        if tl is None:
+            tl = self._tlocal = threading.local()
+            self._rng_next = 0
+            self._rng_lock = threading.Lock()
+        rng = getattr(tl, "rng", None)
+        if rng is None:
+            with self._rng_lock:
+                # seed each worker stream from the dataset's master RNG
+                # (serialized by the lock; happens once per thread)
+                seed = int(self.rng.randint(0, 2 ** 31 - 1))
+            rng = tl.rng = np.random.RandomState(seed)
+        return rng
+
     # ------------------------------------------------------------ batching
+
+    def _fetch_batch(self, idx):
+        """One stacked batch; item fetch fans out over the worker pool."""
+        if len(idx) > 1 and self.NUM_WORKERS > 1:
+            items = list(self._worker_pool().map(self.__getitem__, idx))
+        else:
+            items = [self[i] for i in idx]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
     def batches(self, batch_size: int, shuffle=False, seed=0,
                 drop_last=True, loop=False) -> Iterator[dict]:
@@ -42,23 +84,23 @@ class BaseDataset:
             order = rng.permutation(n) if shuffle else np.arange(n)
             end = n - batch_size + 1 if drop_last else n
             for s in range(0, end, batch_size):
-                idx = order[s:s + batch_size]
-                items = [self[i] for i in idx]
-                yield {k: np.stack([it[k] for it in items])
-                       for k in items[0]}
+                yield self._fetch_batch(order[s:s + batch_size])
             if not loop:
                 return
 
-    def prefetch_batches(self, batch_size: int, prefetch=4, **kw):
+    def prefetch_batches(self, batch_size: int, prefetch=4, transform=None,
+                         **kw):
         """Background-thread prefetcher (replaces the reference's
         BackgroundGenerator + 4 dataloader workers,
-        train_render.py:33-35)."""
+        train_render.py:33-35).  ``transform`` (e.g. a device_put) runs
+        on the prefetch thread so host->device transfer overlaps the
+        device step."""
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         stop = object()
 
         def worker():
             for b in self.batches(batch_size, **kw):
-                q.put(b)
+                q.put(transform(b) if transform is not None else b)
             q.put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
@@ -129,10 +171,56 @@ class NYUDataset(BaseDataset):
     def __len__(self):
         return len(self.all_joints_uvd)
 
-    def __getitem__(self, index):
+    def _read_depth(self, index):
         img_path = os.path.join(
             self.data_path, f"depth_{self.view + 1}_{index + 1:07d}.png")
-        depth = readers.nyu_reader(img_path)
+        return readers.nyu_reader(img_path)
+
+    def _fetch_batch(self, idx):
+        """Batch fast path: PNG decode fans out over the worker pool and
+        the crop+normalize runs in the threaded C++ library
+        (native/dsf_host.cpp:batch_crop_normalize, parity-tested in
+        tests/test_misc_parity.py).  Label math is vectorized numpy.
+        Augmented (train) fetches keep the per-sample cv2 path."""
+        from dsf_tpu.data import native
+        if self.augment or not native.available():
+            return super()._fetch_batch(idx)
+        idx = np.asarray(idx)
+        depths = np.stack(list(self._worker_pool().map(self._read_depth,
+                                                       idx)))
+        centers = self.center_xyz[idx]
+        coms = C.joint_3d_to_img(centers, self.paras, self.flip)
+        cubes = (self.test_cubesize[idx] if self.phase == "test"
+                 else np.tile(self.cube_size, (len(idx), 1))).astype(
+                     np.float32)
+        imgs, Ms = native.batch_crop_normalize(
+            depths, coms.astype(np.float32), cubes,
+            np.asarray(self.paras, np.float32), self.img_size,
+            nthreads=self.NUM_WORKERS)
+        gt3Dcrop = self.all_joints_xyz[idx] - centers[:, None]
+        curLabel = gt3Dcrop / (cubes[:, None, 2:3] / 2.0)
+        com3D = C.joint_img_to_3d(coms, self.paras, self.flip)
+        world = curLabel * (cubes[:, None, 0:1] / 2.0) + com3D[:, None]
+        uvd = C.joint_3d_to_img(world, self.paras, self.flip)
+        ones = np.ones(uvd.shape[:-1] + (1,), uvd.dtype)
+        h = np.concatenate([uvd[..., :2], ones], axis=-1) @ \
+            Ms.transpose(0, 2, 1)
+        joint_img = uvd.copy()
+        joint_img[..., :2] = (h[..., :2] / h[..., 2:3]) \
+            / (self.img_size / 2) - 1
+        joint_img[..., 2] = (uvd[..., 2] - com3D[:, None, 2]) \
+            / (cubes[:, None, 0] / 2.0)
+        return {
+            "img": imgs[:, None].astype(np.float32),
+            "xyz_gt": curLabel.astype(np.float32),
+            "uvd_gt": joint_img.astype(np.float32),
+            "center": com3D.astype(np.float32),
+            "M": Ms.astype(np.float32),
+            "cube": cubes.astype(np.float32),
+        }
+
+    def __getitem__(self, index):
+        depth = self._read_depth(index)
 
         joint_xyz = self.all_joints_xyz[index].copy()
         cube_size = (self.test_cubesize[index] if self.phase == "test"
@@ -146,7 +234,8 @@ class NYUDataset(BaseDataset):
             self.paras)
         if self.augment:
             mode, off, rot, sc = C.rand_augment(
-                self.rng, self.aug_para[0], self.aug_para[1], self.aug_para[2])
+                self._thread_rng(), self.aug_para[0], self.aug_para[1],
+                self.aug_para[2])
             imgD, curLabel, cube, com2D, M, _ = C.augment_crop(
                 depth_crop, gt3Dcrop, center_uvd, cube_size, trans, mode,
                 off, rot, sc, self.paras, self.flip)
@@ -309,7 +398,8 @@ class ICVLDataset(BaseDataset):
             self.paras)
         if self.phase == "train":
             mode, off, rot, sc = C.rand_augment(
-                self.rng, self.aug_para[0], self.aug_para[1], self.aug_para[2])
+                self._thread_rng(), self.aug_para[0], self.aug_para[1],
+                self.aug_para[2])
             imgD, curLabel, cube, com2D, M, _ = C.augment_crop(
                 depth_crop, gt3Dcrop, center_uvd, cube_size, trans, mode,
                 off, rot, sc, self.paras, self.flip)
@@ -433,7 +523,8 @@ class MSRADataset(BaseDataset):
             self.paras)
         if self.phase == "train":
             mode, off, rot, sc = C.rand_augment(
-                self.rng, self.aug_para[0], self.aug_para[1], self.aug_para[2])
+                self._thread_rng(), self.aug_para[0], self.aug_para[1],
+                self.aug_para[2])
             imgD, curLabel, cube_a, com2D, M, _ = C.augment_crop(
                 depth_crop, gt3Dcrop, center_uvd, cube_size, trans, mode,
                 off, rot, sc, self.paras, self.flip)
@@ -655,7 +746,7 @@ class DHGDataset(BaseDataset):
             self.paras)
         if self.augment:
             mode, off, rot, sc = C.rand_augment(
-                self.rng, self.aug_para[0], self.aug_para[1],
+                self._thread_rng(), self.aug_para[0], self.aug_para[1],
                 self.aug_para[2])
             imgD, curLabel, cube, com2D, M, _ = C.augment_crop(
                 depth_crop, gt3Dcrop, center_uvd, cube_size, trans, mode,

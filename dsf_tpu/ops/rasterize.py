@@ -157,12 +157,23 @@ def _scan_minz(a, b, c, az, bz, cz, valid, pix_uv, chunk=_FACE_CHUNK):
         z = u * caz[:, None, :] + v * cbz[:, None, :] + ccz[:, None, :]
         z = jnp.where(inside & (z > 0), z, _INF)
         cmin = jnp.min(z, axis=-1)              # (N, P)
+        # NOTE: measured on v5e (2026-08-17, 4-raster chained harness):
+        # the variadic min/argmin reduce is 35ms vs 55ms for a min +
+        # masked-index-min two-reduce rewrite — keep the variadic form
         carg = jnp.argmin(z, axis=-1) + offset
         better = cmin < zmin
         return (jnp.where(better, cmin, zmin),
                 jnp.where(better, carg, idx),
                 offset + chunk), None
 
+    # NOTE (v5e trace + full-step bench, 2026-08-17): XLA splits each
+    # scan into a peeled iteration-0 variadic min/argmin fusion
+    # (~8.7ms) plus the 6-chunk while (~8.7ms).  Anchoring the init to
+    # a runtime value to block the peel changed NOTHING end-to-end
+    # (213.2 fps either way), and rewriting argmin as two vectorized
+    # reduces was 1.6x SLOWER (35ms -> 55ms on the 4-raster chained
+    # harness) — both dead ends; the scan below is the measured
+    # champion form.
     init = (jnp.full((N, P), _INF, pix_uv.dtype),
             jnp.full((N, P), -1, jnp.int32),
             jnp.int32(0))
