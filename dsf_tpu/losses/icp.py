@@ -63,8 +63,16 @@ def icp_and_joint_icp(mesh, pcl, joint_pcl, faces, joint_face_mask, pcl_seg):
     """
     B, P = pcl.shape[0], pcl.shape[1]
     T = joint_face_mask.shape[0]
-    table = jnp.concatenate(
-        [joint_face_mask, jnp.ones((T, 1), bool)], axis=1)   # (T, 16)
+    try:
+        # concrete mask (the usual case: a model constant closed over by
+        # jit) -> build the table in numpy so the culled kernel can
+        # derive its static face-part permutation from it
+        import numpy as np
+        table = jnp.asarray(np.concatenate(
+            [np.asarray(joint_face_mask), np.ones((T, 1), bool)], axis=1))
+    except Exception:
+        table = jnp.concatenate(
+            [joint_face_mask, jnp.ones((T, 1), bool)], axis=1)   # (T, 16)
     pp_joint = jnp.where((pcl_seg >= 1) & (pcl_seg <= 15), pcl_seg - 1, -1)
     pp_full = jnp.full((B, P), 15, jnp.int32)
     points = jnp.concatenate([pcl, joint_pcl], axis=0)       # (2B, P, 3)

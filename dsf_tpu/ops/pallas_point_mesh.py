@@ -165,6 +165,117 @@ def _face_constants(tris):
     return jnp.stack(rows, axis=1)                      # (B, 16, T)
 
 
+def _kernel_culled(masked, p_ref, fc_ref, oh_ref, pm_ref, run_ref,
+                   dmin_ref, imin_ref):
+    """Like _kernel, but skips (point-tile, face-chunk) pairs whose
+    run_ref entry is 0 — the caller proves (admissibility + triangle
+    distance bounds) that no point in the tile can have its nearest
+    admissible face there, so the skip is exact."""
+    P = p_ref.shape[1]
+    Tp = fc_ref.shape[2]
+    n_pt = P // TILE
+    n_fc = Tp // FACE_CHUNK
+
+    def pix_tile(ti, _):
+        sl = pl.ds(ti * TILE, TILE)
+        px = p_ref[0, sl, 0:1]
+        py = p_ref[0, sl, 1:2]
+        pz = p_ref[0, sl, 2:3]
+        pp = p_ref[0, sl, 3:4]
+        if masked:
+            oh = oh_ref[0, sl, :]
+
+        def face_chunk(ci, carry):
+            def do(carry):
+                dmin, imin = carry
+                s = ci * FACE_CHUNK
+                fc = fc_ref[0, :, pl.ds(s, FACE_CHUNK)]
+                ax, ay, az = fc[0:1], fc[1:2], fc[2:3]
+                abx, aby, abz = fc[3:4], fc[4:5], fc[5:6]
+                acx, acy, acz = fc[6:7], fc[7:8], fc[8:9]
+                ab_a, ac_a = fc[9:10], fc[10:11]
+                ab_b, ac_b = fc[11:12], fc[12:13]
+                ab_c, ac_c = fc[13:14], fc[14:15]
+                aa = fc[15:16]
+                abab = ab_b - ab_a
+                acac = ac_c - ac_a
+                abac = ac_b - ac_a
+
+                s1 = px * abx + py * aby + pz * abz
+                s2 = px * acx + py * acy + pz * acz
+                pa = px * ax + py * ay + pz * az
+
+                d1 = s1 - ab_a
+                d2 = s2 - ac_a
+                d3 = s1 - ab_b
+                d4 = s2 - ac_b
+                d5 = s1 - ab_c
+                d6 = s2 - ac_c
+
+                vc = d1 * d4 - d3 * d2
+                vb = d5 * d2 - d1 * d6
+                va = d3 * d6 - d5 * d4
+                den = va + vb + vc
+
+                def safe_div(n, d):
+                    return n / jnp.where(jnp.abs(d) < _EPS, _EPS, d)
+
+                v = safe_div(vb, den)
+                w = safe_div(vc, den)
+                t_bc = jnp.clip(safe_div(d4 - d3, (d4 - d3) + (d5 - d6)),
+                                0., 1.)
+                on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+                v = jnp.where(on_bc, 1.0 - t_bc, v)
+                w = jnp.where(on_bc, t_bc, w)
+                on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+                v = jnp.where(on_ac, 0.0, v)
+                w = jnp.where(on_ac, jnp.clip(safe_div(d2, d2 - d6), 0., 1.),
+                              w)
+                on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+                v = jnp.where(on_ab, jnp.clip(safe_div(d1, d1 - d3), 0., 1.),
+                              v)
+                w = jnp.where(on_ab, 0.0, w)
+                in_c = (d6 >= 0) & (d5 <= d6)
+                v = jnp.where(in_c, 0.0, v)
+                w = jnp.where(in_c, 1.0, w)
+                in_b = (d3 >= 0) & (d4 <= d3)
+                v = jnp.where(in_b, 1.0, v)
+                w = jnp.where(in_b, 0.0, w)
+                in_a = (d1 <= 0) & (d2 <= 0)
+                v = jnp.where(in_a, 0.0, v)
+                w = jnp.where(in_a, 0.0, w)
+
+                qq = (aa + v * (2.0 * ab_a + v * abab)
+                      + w * (2.0 * ac_a + w * acac) + 2.0 * v * w * abac)
+                d = pp - 2.0 * (pa + v * s1 + w * s2) + qq
+                d = jnp.maximum(d, 0.0)
+                if masked:
+                    allowed = jax.lax.dot_general(
+                        oh, pm_ref[:, pl.ds(s, FACE_CHUNK)],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    d = jnp.where(allowed > 0.5, d, _INF)
+
+                cmin = jnp.min(d, axis=1, keepdims=True)
+                carg = jnp.argmin(d, axis=1).reshape(-1, 1).astype(
+                    jnp.int32) + s
+                better = cmin < dmin
+                return (jnp.where(better, cmin, dmin),
+                        jnp.where(better, carg, imin))
+
+            return jax.lax.cond(run_ref[0, ti, ci] > 0, do,
+                                lambda c: c, carry)
+
+        d0 = jnp.full((TILE, 1), _INF, jnp.float32)
+        i0 = jnp.zeros((TILE, 1), jnp.int32)
+        dmin, imin = jax.lax.fori_loop(0, n_fc, face_chunk, (d0, i0))
+        dmin_ref[0, 0, sl] = dmin[:, 0]
+        imin_ref[0, 0, sl] = imin[:, 0]
+        return 0
+
+    jax.lax.fori_loop(0, n_pt, pix_tile, 0)
+
+
 def argmin_faces_pallas(points, tris, part_mask=None, point_part=None):
     """points (B, P, 3); tris (B, T, 3, 3); optional factorized mask.
     Returns (dmin (B, P), imin (B, P)) with gradients stopped."""
@@ -234,3 +345,180 @@ def argmin_faces_pallas(points, tris, part_mask=None, point_part=None):
     dmin, imin = dmin[:, 0], imin[:, 0]
     imin = jnp.clip(imin, 0, T - 1)
     return dmin[:, :P], imin[:, :P]
+
+
+# ---------------------------------------------------------------------------
+# culled variant: part-sorted faces + spatially-sorted points + exact
+# (admissibility AND distance-bound) chunk skipping
+# ---------------------------------------------------------------------------
+
+_CULL_MARGIN = 1e-4   # absolute slack on the sphere bounds (units of the
+                      # caller's space; ~0.01mm at cube 200) — guards the
+                      # sqrt rounding of the bound math, costs ~nothing
+
+
+def _face_part_perm(part_mask, T):
+    """Static permutation grouping faces by (first) part, so face chunks
+    are spatially tight.  Returns None when the mask is traced (can't
+    sort at trace time) or absent."""
+    if part_mask is None:
+        return None
+    try:
+        import numpy as np
+        m = np.asarray(part_mask)
+    except Exception:
+        return None
+    part_of_face = np.where(m.any(1), m.argmax(1), m.shape[1])
+    return np.argsort(part_of_face, kind="stable").astype(np.int32)
+
+
+def argmin_faces_pallas_culled(points, tris, part_mask=None,
+                               point_part=None):
+    """Exact nearest-admissible-face argmin with (tile, chunk) culling.
+
+    Work reduction vs argmin_faces_pallas (which always evaluates all
+    P x T pairs):
+    1. faces are permuted so chunks hold one-ish skinning part each;
+    2. points are sorted per row by (part, nearest-chunk) so point
+       tiles are admissibility- and space-coherent;
+    3. a (tile, chunk) pair is skipped iff NO point in the tile can
+       have its nearest admissible face there, proven by chunk bounding
+       spheres: needed(p, g) = admissible(p, g) AND
+       lb_g(p) <= ub(p), with lb_g = (max(0, |p-c_g| - r_g) - eps)^2 a
+       lower bound on any distance into chunk g and
+       ub = min over admissible g of (|p-c_g| + r_g + eps)^2 an upper
+       bound on p's true minimum.  Exact by construction — the chunk
+       holding the argmin face always survives.
+    """
+    points = jax.lax.stop_gradient(points)
+    tris = jax.lax.stop_gradient(tris)
+    B, P, _ = points.shape
+    T = tris.shape[1]
+
+    perm = _face_part_perm(part_mask, T)
+    if perm is not None:
+        tris = tris[:, perm]
+        part_mask = part_mask[jnp.asarray(perm)]
+
+    fc = _face_constants(tris)
+    pad_f = (-T) % FACE_CHUNK
+    if pad_f:
+        fc = jnp.pad(fc, ((0, 0), (0, 0), (0, pad_f)))
+        far = jnp.arange(T + pad_f) >= T
+        fc = fc.at[:, 15, :].set(jnp.where(far, _INF, fc[:, 15, :]))
+    Tp = fc.shape[2]
+    G = Tp // FACE_CHUNK
+
+    # chunk bounding spheres from the (padded) triangles
+    cent = tris.mean(2)                                     # (B, T, 3)
+    face_r = jnp.sqrt(jnp.max(jnp.sum(
+        (tris - cent[:, :, None]) ** 2, -1), -1) + 1e-20)   # (B, T)
+    if pad_f:
+        cent = jnp.pad(cent, ((0, 0), (0, pad_f), (0, 0)))
+        face_r = jnp.pad(face_r, ((0, 0), (0, pad_f)),
+                         constant_values=-_INF)
+    cent_g = cent.reshape(B, G, FACE_CHUNK, 3)
+    # chunk center = mean of REAL faces only (pads sit at origin; use
+    # masked mean so they don't drag the sphere)
+    real = (face_r.reshape(B, G, FACE_CHUNK) > -_INF / 2)
+    denom = jnp.maximum(real.sum(-1, keepdims=True), 1)
+    c_g = (cent_g * real[..., None]).sum(2) / denom         # (B, G, 3)
+    r_g = jnp.max(jnp.where(
+        real,
+        jnp.sqrt(jnp.sum((cent_g - c_g[:, :, None]) ** 2, -1) + 1e-20)
+        + face_r.reshape(B, G, FACE_CHUNK),
+        0.0), -1)                                            # (B, G)
+
+    # per-point chunk admissibility
+    masked = part_mask is not None
+    if masked:
+        K = part_mask.shape[1]
+        ppart = jnp.where((point_part >= 0) & (point_part < K),
+                          point_part, K).astype(jnp.int32)
+        ext = jnp.concatenate([part_mask.astype(jnp.float32),
+                               jnp.zeros((T, 1), jnp.float32)], 1)
+        ext = jnp.pad(ext, ((0, pad_f), (0, 0)))            # (Tp, K+1)
+        chunk_part = ext.reshape(G, FACE_CHUNK, K + 1).max(1)  # (G, K+1)
+        oh_pt = jax.nn.one_hot(ppart, K + 1, dtype=jnp.float32)
+        adm = jnp.einsum("bpk,gk->bpg", oh_pt, chunk_part) > 0.5
+    else:
+        adm = jnp.ones((B, P, G), bool)
+
+    # distance bounds
+    dpc = jnp.sqrt(jnp.sum(
+        (points[:, :, None] - c_g[:, None]) ** 2, -1) + 1e-20)  # (B, P, G)
+    lb = jnp.maximum(dpc - r_g[:, None] - _CULL_MARGIN, 0.0) ** 2
+    ub_g = (dpc + r_g[:, None] + _CULL_MARGIN) ** 2
+    ub = jnp.min(jnp.where(adm, ub_g, _INF), -1)            # (B, P)
+    needed = adm & (lb <= ub[..., None])                    # (B, P, G)
+
+    # sort points so tiles are coherent: key = (part, nearest chunk)
+    near_g = jnp.argmin(jnp.where(adm, dpc, _INF), -1)      # (B, P)
+    key = (ppart * G + near_g) if masked else near_g
+    order = jnp.argsort(key, axis=-1)
+    inv = jnp.argsort(order, axis=-1)
+
+    def take(x, o):
+        return jnp.take_along_axis(x, o.reshape(o.shape + (1,) * (x.ndim - 2)),
+                                   axis=1)
+
+    pts_s = take(points, order)
+    needed_s = take(needed, order)
+
+    pp_s = jnp.sum(pts_s * pts_s, -1, keepdims=True)
+    p4 = jnp.concatenate([pts_s, pp_s], -1)
+    pad_p = (-P) % TILE
+    if pad_p:
+        p4 = jnp.pad(p4, ((0, 0), (0, pad_p), (0, 0)))
+        needed_s = jnp.pad(needed_s, ((0, 0), (0, pad_p), (0, 0)))
+    Pp = p4.shape[1]
+    NT = Pp // TILE
+    run = needed_s.reshape(B, NT, TILE, G).any(2).astype(jnp.int32)
+
+    if masked:
+        pm = jnp.concatenate(
+            [part_mask.astype(jnp.float32),
+             jnp.zeros((T, MASK_W - K), jnp.float32)], 1)
+        pm = jnp.pad(pm, ((0, pad_f), (0, 0))).T            # (MASK_W, Tp)
+        oh = jax.nn.one_hot(ppart, MASK_W, dtype=jnp.float32)
+        oh = take(oh, order)
+        if pad_p:
+            oh = jnp.pad(oh, ((0, 0), (0, pad_p), (0, 0)))
+    else:
+        pm = jnp.zeros((MASK_W, Tp), jnp.float32)
+        oh = jnp.zeros((B, 1, MASK_W), jnp.float32)
+
+    oh_P = oh.shape[1]
+    kernel = functools.partial(_kernel_culled, masked)
+    dmin, imin = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, 1, Pp), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, Pp), jnp.int32)),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Pp, 4), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, Tp), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, oh_P, MASK_W), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MASK_W, Tp), lambda bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NT, G), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, Pp), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Pp), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(p4.astype(jnp.float32), fc.astype(jnp.float32), oh, pm, run)
+    dmin, imin = dmin[:, 0, :P], imin[:, 0, :P]
+    # unsort back to caller point order, then unpermute face ids
+    dmin = jnp.take_along_axis(dmin, inv, axis=1)
+    imin = jnp.take_along_axis(imin, inv, axis=1)
+    imin = jnp.clip(imin, 0, Tp - 1)
+    if perm is not None:
+        imin = jnp.asarray(perm)[jnp.clip(imin, 0, T - 1)]
+    return dmin, jnp.clip(imin, 0, T - 1)

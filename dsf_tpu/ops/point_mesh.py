@@ -186,6 +186,16 @@ def _select_tris_bwd(res, g):
 _select_tris.defvjp(_select_tris_fwd, _select_tris_bwd)
 
 
+USE_CULLED_KERNEL = False  # part-sorted + sphere-bound chunk culling.
+# MEASURED on v5e (2026-08-17, chained fused-ICP harness, B=32 step
+# shapes): culled 43.5ms vs baseline 31.4ms — outputs match exactly,
+# but the MANO chunks' bounding spheres are too fat (r_g ~0.8 in
+# normalized units) so the tile-level run fraction only drops to 0.73
+# (0.57 at TILE=128), and the bound/sort/gather setup plus per-chunk
+# lax.cond overhead exceed the saved work.  Kept (exact, tested) for
+# denser meshes where chunks are tight; off for MANO-scale ICP.
+
+
 def point_face_distance(points, verts, faces, part_mask=None,
                         point_part=None, use_pallas="auto"):
     """Per-point SQUARED distance to the nearest (admissible) face.
@@ -200,8 +210,10 @@ def point_face_distance(points, verts, faces, part_mask=None,
     imin = None
     if use_pallas in ("auto", True) and jax.default_backend() != "cpu":
         try:
-            from dsf_tpu.ops.pallas_point_mesh import argmin_faces_pallas
-            _, imin = argmin_faces_pallas(points, tris, part_mask, point_part)
+            from dsf_tpu.ops import pallas_point_mesh as PPM
+            fn = (PPM.argmin_faces_pallas_culled if USE_CULLED_KERNEL
+                  else PPM.argmin_faces_pallas)
+            _, imin = fn(points, tris, part_mask, point_part)
         except Exception:
             if use_pallas is True:
                 raise

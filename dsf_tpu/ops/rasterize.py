@@ -166,15 +166,17 @@ def _scan_minz(a, b, c, az, bz, cz, valid, pix_uv, chunk=_FACE_CHUNK):
                 jnp.where(better, carg, idx),
                 offset + chunk), None
 
-    # NOTE (v5e trace + full-step bench, 2026-08-17): XLA splits each
-    # scan into a peeled iteration-0 variadic min/argmin fusion
-    # (~8.7ms) plus the 6-chunk while (~8.7ms).  Anchoring the init to
-    # a runtime value to block the peel changed NOTHING end-to-end
-    # (213.2 fps either way), and rewriting argmin as two vectorized
-    # reduces was 1.6x SLOWER (35ms -> 55ms on the 4-raster chained
-    # harness) — both dead ends; the scan below is the measured
-    # champion form.
-    init = (jnp.full((N, P), _INF, pix_uv.dtype),
+    # Anti-peel init: with a compile-time-constant INF carry, XLA peels
+    # iteration 0 of the while into a standalone variadic min/argmin
+    # fusion that costs as much as the whole remaining loop (v5e trace:
+    # 8.7ms peeled chunk + 8.7ms six-chunk while per raster).  The init
+    # below equals INF at runtime (pixel coords are << _INF) but XLA
+    # cannot fold it, so all chunks run at loop-body speed.  (An earlier
+    # `+ u*0.0` attempt was algebraically simplified away — the max form
+    # survives.)  Rewriting argmin as two vectorized reduces was also
+    # tried: 1.6x slower, keep the variadic form.
+    init = (jnp.maximum(jnp.float32(_INF),
+                        jax.lax.stop_gradient(pix_uv[..., 0])),
             jnp.full((N, P), -1, jnp.int32),
             jnp.int32(0))
     (zmin, idx, _), _ = jax.lax.scan(body, init, xs)
@@ -350,9 +352,11 @@ def _z_of_tri(tri, uv):
 _grad_z_tri = jax.vmap(jax.vmap(jax.grad(_z_of_tri, argnums=0)))
 
 
-USE_PALLAS_RASTER = False   # measured on v5e: scan 11.2ms vs pallas
-                            # 12.6ms at B=32/128^2/1554f — XLA already
-                            # fuses this loop well; kernel kept for
+USE_PALLAS_RASTER = False   # measured on v5e: isolated scan 11.2ms vs
+                            # pallas 12.6ms (B=32/128^2/1554f), and in
+                            # the FULL FinetuneStage step the kernel is
+                            # also slower end-to-end: 199.4 fps vs the
+                            # scan's 213.2 (2026-08-17) — kept for
                             # future binned/culled variants
 
 

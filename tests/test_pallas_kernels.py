@@ -86,3 +86,41 @@ def test_point_mesh_kernel_masked(interpret_pallas):
     d2, _ = argmin_faces_pallas(pts, tris, mask, ppart)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_point_mesh_culled_matches_scan(interpret_pallas):
+    from dsf_tpu.ops import point_mesh as pm
+    from dsf_tpu.ops.pallas_point_mesh import argmin_faces_pallas_culled
+    rng = np.random.RandomState(3)
+    B, V, F, P = 2, 60, 200, 1024
+    verts = jnp.asarray(rng.randn(B, V, 3).astype(np.float32))
+    faces = jnp.asarray(_distinct_faces(rng, V, F))
+    pts = jnp.asarray((rng.randn(B, P, 3) * 1.5).astype(np.float32))
+    tris = verts[:, faces]
+    d1, _ = pm._argmin_faces(pts, tris)
+    d2, i2 = argmin_faces_pallas_culled(pts, tris)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-3, atol=1e-4)
+    win = jnp.take_along_axis(tris, i2[..., None, None].astype(jnp.int32), 1)
+    d_win = pm.point_tri_sqdist(pts, win)
+    np.testing.assert_allclose(np.asarray(d_win), np.asarray(d1),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_point_mesh_culled_masked_matches_scan(interpret_pallas):
+    from dsf_tpu.ops import point_mesh as pm
+    from dsf_tpu.ops.pallas_point_mesh import argmin_faces_pallas_culled
+    rng = np.random.RandomState(4)
+    B, V, F, P = 2, 40, 160, 1024
+    verts = jnp.asarray(rng.randn(B, V, 3).astype(np.float32))
+    faces = jnp.asarray(_distinct_faces(rng, V, F))
+    pts = jnp.asarray((rng.randn(B, P, 3)).astype(np.float32))
+    tris = verts[:, faces]
+    # 16-col table like the fused ICP (col 15 admits everything)
+    mask = np.asarray(rng.rand(F, 15) > 0.6)
+    mask = np.concatenate([mask, np.ones((F, 1), bool)], axis=1)
+    ppart = jnp.asarray(rng.randint(-1, 16, (B, P)).astype(np.int32))
+    d1, _ = pm._argmin_faces(pts, tris, jnp.asarray(mask), ppart)
+    d2, _ = argmin_faces_pallas_culled(pts, tris, jnp.asarray(mask), ppart)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-3, atol=1e-4)
