@@ -37,6 +37,7 @@ class _Trunk(nn.Module):
     in_planes: int = 64
     bn_axis_name: Optional[str] = None
     dtype: Any = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -44,20 +45,21 @@ class _Trunk(nn.Module):
         if self.stem:
             x = Conv(64, 5, 1, 2, dtype=self.dtype, name="pre_conv")(x)
             x = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
-                          name="pre_bn")(x, train)
+                          groups=self.bn_groups, name="pre_bn")(x, train)
             x = nn.relu(x)
             x = max_pool_3x3_s2(x)
         c0 = x
         inp = self.in_planes
         exp = block.expansion
+        g = self.bn_groups
         x = ResLayer(block, 64, layers[0], 1, inp, self.bn_axis_name,
-                     self.dtype, name="layer1")(x, train)
+                     self.dtype, g, name="layer1")(x, train)
         x = ResLayer(block, 128, layers[1], 2, 64 * exp, self.bn_axis_name,
-                     self.dtype, name="layer2")(x, train)
+                     self.dtype, g, name="layer2")(x, train)
         x = ResLayer(block, 256, layers[2], 2, 128 * exp, self.bn_axis_name,
-                     self.dtype, name="layer3")(x, train)
+                     self.dtype, g, name="layer3")(x, train)
         x = ResLayer(block, 512, layers[3], 2, 256 * exp, self.bn_axis_name,
-                     self.dtype, name="layer4")(x, train)
+                     self.dtype, g, name="layer4")(x, train)
         return c0, x
 
 
@@ -66,18 +68,19 @@ class _Heads(nn.Module):
     joint_num: int
     bn_axis_name: Optional[str] = None
     dtype: Any = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, c4, train: bool = True):
         mano_para = nn.Dense(MANO_PARAM_DIM, kernel_init=normal001_init,
                              dtype=self.dtype, name="mano_regress")(
             adaptive_avg_pool_1(c4))
-        x = DeconvBNRelu(256, self.bn_axis_name, self.dtype,
+        x = DeconvBNRelu(256, self.bn_axis_name, self.dtype, self.bn_groups,
                          name="deconv4")(c4, train)
-        x = DeconvBNRelu(256, self.bn_axis_name, self.dtype,
+        x = DeconvBNRelu(256, self.bn_axis_name, self.dtype, self.bn_groups,
                          name="deconv3")(x, train)
         feat = DeconvBNRelu(256, self.bn_axis_name, self.dtype,
-                            name="deconv2")(x, train)
+                            self.bn_groups, name="deconv2")(x, train)
         off = Conv(self.joint_num * 3, 1, 1, 0, use_bias=True,
                    kernel_init=normal001_init, dtype=self.dtype,
                    name="final_offset")(feat)
@@ -106,21 +109,31 @@ class ManoOCR(nn.Module):
 
 
 class ManoOCRStage(nn.Module):
-    """Dual-branch two-stage net (ref: MANO_OCR_stage, backbone.py:188-323)."""
+    """Dual-branch two-stage net (ref: MANO_OCR_stage, backbone.py:188-323).
+
+    ``bn_groups`` > 1 lets the trainer run the reference's two
+    SEQUENTIAL net calls (synth batch :640, real batch :671) as ONE
+    stacked-batch forward with per-group BatchNorm statistics — same
+    numerics, one graph (see layers.BatchNorm).  The parameter/stat tree
+    is independent of bn_groups, so a groups=2 instance applies the same
+    variables a groups=1 instance initialized.
+    """
     joint_num: int = 21
     depth: int = 18
     refine: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Any = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, img, render: Optional[rnd.Renderer] = None,
                  center=None, cube=None, train: bool = True,
                  return_render: bool = False):
+        g = self.bn_groups
         c0, c4 = _Trunk(self.depth, True, 64, self.bn_axis_name, self.dtype,
-                        name="trunk")(nchw_to_nhwc(img), train)
+                        g, name="trunk")(nchw_to_nhwc(img), train)
         img_result, mano_para, img_feature = _Heads(
-            self.joint_num, self.bn_axis_name, self.dtype,
+            self.joint_num, self.bn_axis_name, self.dtype, g,
             name="heads")(c4, train)
         img_result_out = nhwc_to_nchw(img_result)
 
@@ -139,12 +152,12 @@ class ManoOCRStage(nn.Module):
         fusion = jnp.concatenate(
             [c0, img_feature, img_result,
              nchw_to_nhwc(remap).astype(img_result.dtype)], axis=-1)
-        x = ConvBNRelu(256, 3, self.bn_axis_name, self.dtype,
+        x = ConvBNRelu(256, 3, self.bn_axis_name, self.dtype, g,
                        name="fusion")(fusion, train)
         _, c4_s2 = _Trunk(self.depth, False, 256, self.bn_axis_name,
-                          self.dtype, name="trunk_s2")(x, train)
+                          self.dtype, g, name="trunk_s2")(x, train)
         img_result_s2, mano_para_s2, _ = _Heads(
-            self.joint_num, self.bn_axis_name, self.dtype,
+            self.joint_num, self.bn_axis_name, self.dtype, g,
             name="heads_s2")(c4_s2, train)
         outputs = [[img_result_out, mano_para],
                    [nhwc_to_nchw(img_result_s2), mano_para_s2]]

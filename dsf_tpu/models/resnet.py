@@ -15,6 +15,7 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Any = None
+    bn_groups: int = 1
     expansion: int = 1
 
     @nn.compact
@@ -23,15 +24,18 @@ class BasicBlock(nn.Module):
         out = Conv(self.planes, 3, self.stride, 1, dtype=self.dtype,
                    name="conv1")(x)
         out = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                        groups=self.bn_groups,
                         name="bn1")(out, train)
         out = nn.relu(out)
         out = Conv(self.planes, 3, 1, 1, dtype=self.dtype, name="conv2")(out)
         out = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                        groups=self.bn_groups,
                         name="bn2")(out, train)
         if self.downsample:
             identity = Conv(self.planes * self.expansion, 1, self.stride, 0,
                             dtype=self.dtype, name="down_conv")(x)
             identity = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                        groups=self.bn_groups,
                                  name="down_bn")(identity, train)
         return nn.relu(out + identity)
 
@@ -42,6 +46,7 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Any = None
+    bn_groups: int = 1
     expansion: int = 4
 
     @nn.compact
@@ -49,21 +54,25 @@ class Bottleneck(nn.Module):
         identity = x
         out = Conv(self.planes, 1, 1, 0, dtype=self.dtype, name="conv1")(x)
         out = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                        groups=self.bn_groups,
                         name="bn1")(out, train)
         out = nn.relu(out)
         out = Conv(self.planes, 3, self.stride, 1, dtype=self.dtype,
                    name="conv2")(out)
         out = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                        groups=self.bn_groups,
                         name="bn2")(out, train)
         out = nn.relu(out)
         out = Conv(self.planes * self.expansion, 1, 1, 0, dtype=self.dtype,
                    name="conv3")(out)
         out = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                        groups=self.bn_groups,
                         name="bn3")(out, train)
         if self.downsample:
             identity = Conv(self.planes * self.expansion, 1, self.stride, 0,
                             dtype=self.dtype, name="down_conv")(x)
             identity = BatchNorm(axis_name=self.bn_axis_name, dtype=self.dtype,
+                        groups=self.bn_groups,
                                  name="down_bn")(identity, train)
         return nn.relu(out + identity)
 
@@ -86,16 +95,19 @@ class ResLayer(nn.Module):
     in_planes: int = 64
     bn_axis_name: Optional[str] = None
     dtype: Any = None
+    bn_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         exp = self.block.expansion
         need_down = self.stride != 1 or self.in_planes != self.planes * exp
         x = self.block(self.planes, self.stride, need_down,
-                       self.bn_axis_name, self.dtype, name="block0")(x, train)
+                       self.bn_axis_name, self.dtype,
+                       bn_groups=self.bn_groups, name="block0")(x, train)
         for i in range(1, self.blocks):
             x = self.block(self.planes, 1, False, self.bn_axis_name,
-                           self.dtype, name=f"block{i}")(x, train)
+                           self.dtype, bn_groups=self.bn_groups,
+                           name=f"block{i}")(x, train)
         return x
 
 

@@ -238,7 +238,12 @@ def _transfer_slice(x, transfer):
 def finetune_loss(apply_fn, variables, key, model_para, cube,
                   img_r, center_r, cube_r, M_r, xyz_gt_r, *,
                   r: rnd.Renderer, transfer_fn, cfg, transfer_map,
-                  train: bool = True):
+                  train: bool = True, apply2_fn=None):
+    """1-stage phase.  The reference runs the net TWICE sequentially
+    (synth :506-509, real :517); here both batches run as ONE stacked
+    2B forward with per-group BN statistics (layers.BatchNorm groups=2)
+    — identical numerics (stats per half, EMA composed in call order),
+    double the conv batch for the MXU."""
     B = model_para.shape[0]
     k_aug, k_prep, k_net = jax.random.split(key, 3)
     aug_shape, aug_center, aug_size, aug_view, k_synth, _ = _aug_keys(k_aug, B)
@@ -250,8 +255,13 @@ def finetune_loss(apply_fn, variables, key, model_para, cube,
                          augment_center=aug_center, augment_size=aug_size,
                          mask=cfg.mask)
     img_t = transfer_fn(img) if transfer_fn is not None else img
-    outputs, state1 = _apply(apply_fn, variables, img_t, r, center_s, cube_s,
-                             train)
+
+    stacked = jnp.concatenate([img_t.astype(jnp.float32), img_r], axis=0)
+    out_2b, state1 = _apply(apply2_fn or apply_fn, variables, stacked, r,
+                            jnp.concatenate([center_s, center_r], axis=0),
+                            jnp.concatenate([cube_s, cube_r], axis=0), train)
+    outputs = [[o[0][:B], o[1][:B]] for o in out_2b]
+    outputs_r = [[o[0][B:], o[1][B:]] for o in out_2b]
     pixel_pd, para_pd = outputs[0]
     fs = pixel_pd.shape[-1]
     pixel_gt = joint2offset(juvd_gt, img, cfg.feature_para[0], fs)
@@ -265,10 +275,8 @@ def finetune_loss(apply_fn, variables, key, model_para, cube,
     loss += sph.collision_loss(r.mano, mano_jxyz_s,
                                jax.lax.stop_gradient(mesh_s)) * cfg.coll_weight
 
-    # ---- real branch
-    vars1 = _merge_state(variables, state1)
-    outputs_r, state2 = _apply(apply_fn, vars1, img_r, r, center_r, cube_r,
-                               train)
+    # ---- real branch (from the stacked forward's second half)
+    state2 = state1
     pixel_r, para_r = outputs_r[0]
     juvd_r = offset2joint_softmax(pixel_r, img_r, cfg.feature_para[0])
     jxyz_r = geo.uvd_nl_to_xyz_nl(juvd_r, center_r, M_r, cube_r, r.paras,
@@ -323,12 +331,6 @@ def finetune_loss(apply_fn, variables, key, model_para, cube,
     return loss, (state2, metrics)
 
 
-def _merge_state(variables, new_state):
-    if not new_state:
-        return variables
-    out = dict(variables)
-    out.update(new_state)
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -338,16 +340,22 @@ def _merge_state(variables, new_state):
 def finetune_stage_loss(apply_fn, variables, key, model_para, cube,
                         img_r, center_r, cube_r, M_r, xyz_gt_r, *,
                         r: rnd.Renderer, transfer_fn, cfg, transfer_map,
-                        train: bool = True):
+                        train: bool = True, apply2_fn=None):
     """Two-stage phase with stage-2 as teacher (ref :622-823).
 
-    TPU restructure: the two stages' loss tensors are STACKED
-    stage-major along batch, so every per-stage loss op (codec decode,
-    MANO LBS, collision, crop_hand, m2d, the ICP family) runs ONCE at 2B
-    instead of twice at B — identical numerics (each scalar is reduced
-    from its stage's slice exactly as before), half the kernel launches,
-    and the fused icp_and_joint_icp does one nearest-face pass for all
-    four (stage x cloud) combinations."""
+    TPU restructure (both preserve the reference's numerics exactly):
+    1. the reference's two SEQUENTIAL net calls (synth :640, real :671)
+       run as ONE stacked [synth | real] 2B forward with per-group BN
+       statistics (layers.BatchNorm groups=2: stats per half, running
+       EMA composed in call order) — doubles the conv batch on the MXU
+       and folds the two internal stage-2 input renders into one raster
+       call;
+    2. the two stages' loss tensors are STACKED stage-major along
+       batch, so every per-stage loss op (codec decode, MANO LBS,
+       collision, crop_hand, m2d, the ICP family) runs ONCE at 2B —
+       each scalar is reduced from its stage's slice exactly as before,
+       and the fused icp_and_joint_icp does one nearest-face pass for
+       all four (stage x cloud) combinations."""
     B = model_para.shape[0]
     k_aug, k_prep, _ = jax.random.split(key, 3)
     aug_shape, aug_center, aug_size, aug_view, k_synth, _ = _aug_keys(k_aug, B)
@@ -362,8 +370,17 @@ def finetune_stage_loss(apply_fn, variables, key, model_para, cube,
                          augment_center=aug_center, augment_size=aug_size,
                          mask=cfg.mask)
     img_t = transfer_fn(img) if transfer_fn is not None else img
-    outputs, state1 = _apply(apply_fn, variables, img_t, r, center_s, cube_s,
-                             train)
+
+    stacked = jnp.concatenate([img_t.astype(jnp.float32), img_r], axis=0)
+    out_2b, render_2b, state1 = _apply(
+        apply2_fn or apply_fn, variables, stacked, r,
+        jnp.concatenate([center_s, center_r], axis=0),
+        jnp.concatenate([cube_s, cube_r], axis=0), train,
+        return_render=True)
+    outputs = [[o[0][:B], o[1][:B]] for o in out_2b]
+    outputs_r = [[o[0][B:], o[1][B:]] for o in out_2b]
+    render_s1_real = (None if render_2b is None
+                      else tuple(t[B:] for t in render_2b))
     loss = 0.0
     metrics = {}
     pixel_s = jnp.concatenate([outputs[0][0], outputs[1][0]], axis=0)
@@ -387,10 +404,7 @@ def finetune_stage_loss(apply_fn, variables, key, model_para, cube,
                                                      center_s, cube_s)
 
     # ---------------- real: stage-2 is the teacher (ref :670-703)
-    vars1 = _merge_state(variables, state1)
-    outputs_r, render_s1_real, state2 = _apply(
-        apply_fn, vars1, img_r, r, center_r, cube_r, train,
-        return_render=True)
+    state2 = state1
     pixel_t = jax.lax.stop_gradient(outputs_r[1][0])
     para_t = jax.lax.stop_gradient(outputs_r[1][1])
     juvd_t = jax.lax.stop_gradient(

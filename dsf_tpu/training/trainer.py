@@ -92,6 +92,10 @@ class Trainer:
             depth = int(cfg.net.split("_")[-1])
             self.net = ManoOCRStage(joint_num=21, depth=depth, refine=refine,
                                     dtype=dtype)
+            # same params/stats tree, per-group BN over a stacked
+            # [synth | real] 2B batch — used by the finetune phases to
+            # fuse the reference's two sequential net calls into one
+            self.net2 = self.net.clone(bn_groups=2)
         else:
             raise NotImplementedError(cfg.net)
 
@@ -170,6 +174,14 @@ class Trainer:
             return self.net.apply(variables, img, rend, center, cube,
                                   train=train, **kw)
 
+        def apply2_fn(variables, img, rend, center, cube, train,
+                      mutable=None, **kw):
+            if mutable:
+                return self.net2.apply(variables, img, rend, center, cube,
+                                       train=train, mutable=mutable, **kw)
+            return self.net2.apply(variables, img, rend, center, cube,
+                                   train=train, **kw)
+
         if phase_name == "Pretrain":
             def fn(params, batch_stats, key, batch):
                 variables = {"params": params, "batch_stats": batch_stats}
@@ -185,7 +197,8 @@ class Trainer:
                     apply_fn, variables, key, batch["model_para"],
                     batch["cube_synth"], batch["img"], batch["center"],
                     batch["cube"], batch["M"], batch["xyz_gt"],
-                    r=r, transfer_fn=transfer_fn, cfg=cfg, transfer_map=tm)
+                    r=r, transfer_fn=transfer_fn, cfg=cfg, transfer_map=tm,
+                    apply2_fn=apply2_fn)
             return fn
         if phase_name == "FinetuneStage":
             def fn(params, batch_stats, key, batch):
@@ -194,7 +207,8 @@ class Trainer:
                     apply_fn, variables, key, batch["model_para"],
                     batch["cube_synth"], batch["img"], batch["center"],
                     batch["cube"], batch["M"], batch["xyz_gt"],
-                    r=r, transfer_fn=transfer_fn, cfg=cfg, transfer_map=tm)
+                    r=r, transfer_fn=transfer_fn, cfg=cfg, transfer_map=tm,
+                    apply2_fn=apply2_fn)
             return fn
         raise ValueError(phase_name)
 

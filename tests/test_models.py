@@ -117,3 +117,49 @@ def test_hourglass_posenet():
     assert len(preds) == 2
     assert preds[0].shape == (1, 14 * 5, 32, 32)
     assert hg.shape == (1, 256, 32, 32)
+
+
+def test_bn_groups2_equals_two_sequential_calls():
+    """The stacked [synth | real] 2B forward with bn_groups=2 must equal
+    two sequential B-batch applies bit-for-bit-ish: per-half outputs AND
+    the composed running-stat EMA (layers.BatchNorm groups semantics)."""
+    r = _make_renderer()
+    rng = np.random.RandomState(0)
+    B = 2
+    img_a = jnp.asarray(rng.uniform(-1, 1, (B, 1, 64, 64)).astype(np.float32))
+    img_b = jnp.asarray(rng.uniform(-1, 1, (B, 1, 64, 64)).astype(np.float32))
+    center = jnp.asarray([[0.0, 0.0, 750.0]] * B)
+    cube = jnp.full((B, 3), 250.0)
+
+    net1 = ManoOCRStage(joint_num=21, refine=True)
+    net2 = net1.clone(bn_groups=2)
+    vars_ = net1.init(jax.random.PRNGKey(0), img_a, r, center, cube,
+                      train=False)
+
+    # sequential: synth call then real call, EMA threading through
+    out_a, mut1 = net1.apply(vars_, img_a, r, center, cube, train=True,
+                             mutable=["batch_stats"])
+    vars1 = {"params": vars_["params"],
+             "batch_stats": mut1["batch_stats"]}
+    out_b, mut2 = net1.apply(vars1, img_b, r, center, cube, train=True,
+                             mutable=["batch_stats"])
+
+    # stacked groups=2
+    out_2b, mut_2b = net2.apply(
+        vars_, jnp.concatenate([img_a, img_b]), r,
+        jnp.concatenate([center, center]), jnp.concatenate([cube, cube]),
+        train=True, mutable=["batch_stats"])
+
+    for idx in range(2):
+        for j in range(2):
+            np.testing.assert_allclose(
+                np.asarray(out_2b[idx][j][:B]), np.asarray(out_a[idx][j]),
+                rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(
+                np.asarray(out_2b[idx][j][B:]), np.asarray(out_b[idx][j]),
+                rtol=2e-5, atol=2e-5)
+    flat_seq = jax.tree_util.tree_leaves(mut2["batch_stats"])
+    flat_stk = jax.tree_util.tree_leaves(mut_2b["batch_stats"])
+    for a, b in zip(flat_seq, flat_stk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
