@@ -21,7 +21,9 @@ FINGER_N = 45        # 15 * 3
 INTERVAL = 3         # finger spheres per bone (per_adj_sphere=2 -> 3)
 PALM_PER_BONE = 4
 
-_FINGER_T = np.linspace(0, 1, INTERVAL + 2)[:-1][:INTERVAL]        # [0, 1/3, 2/3]
+# ref interval_value: linspace(0, 1, per_adj_shpere + 2)[:-1] with
+# per_adj_shpere=2 -> [0, 1/3, 2/3] (mano_layer.py:231)
+_FINGER_T = np.linspace(0, 1, INTERVAL + 1)[:-1]                   # [0, 1/3, 2/3]
 _PALM_T = np.linspace(0, 1, PALM_PER_BONE + 2)[1:-1]               # [.2 .4 .6 .8]
 _PALM_CHILD = [1, 4, 7, 10, 13]
 
@@ -111,9 +113,13 @@ def _mean_smallest_k(d, k):
 
 
 def collision_loss(model, joints, mesh, keep_batch=False):
-    """Mean sphere-pair penetration, gated per batch element
-    (ref: calculate_coll, mano_layer.py:373-386): samples already
-    colliding beyond 0.1 total are zeroed (don't chase lost causes).
+    """Mean sphere-pair penetration, gated PER SPHERE ROW
+    (ref: calculate_coll, mano_layer.py:373-386).  The reference's
+    ``error.sum(-1, keepdim=True).sum(-1, keepdim=True)`` sums the last
+    axis twice (the second sum is a no-op over the kept size-1 dim), so
+    its "batch mask" is really (B, 66, 1): each SPHERE whose summed
+    penetration is already >= 0.1 is zeroed, not each sample — preserved
+    exactly (A/B-tested vs the live reference).
     keep_batch: return the per-sample mean (B,) instead of the scalar
     (mean of the per-sample means equals the scalar for fixed B)."""
     c = sphere_centers(joints)
@@ -122,7 +128,7 @@ def collision_loss(model, joints, mesh, keep_batch=False):
     dis = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-8)
     pair_r = r[:, :, None] + r[:, None, :]
     err = jnp.maximum(pair_r - dis, 0.0) * jnp.asarray(COLLISION_MASK)
-    gate = (err.sum((-1, -2), keepdims=True) < 0.1).astype(err.dtype)
+    gate = (err.sum(-1, keepdims=True) < 0.1).astype(err.dtype)
     err = err * gate
     if keep_batch:
         return err.sum(-1).mean(-1)
@@ -194,21 +200,29 @@ def _seg_with_map(model, joints, joints_mano, mesh, pcl, id_map):
 # ---------------------------------------------------------------------------
 
 def point2mesh_part_distance(model, mesh, pcl, pcl_seg):
-    """(B, 15) mean min squared VERTEX distance of each part's points to
-    that part's skinned vertices (ref: calculate_point2mesh_distance,
-    mano_layer.py:429-441; vertex-subset form, masked fixed-shape)."""
+    """(B, 15) mean min squared VERTEX distance of part ``index`` points
+    to the verts argmax-skinned to joint ``index`` (ref:
+    calculate_point2mesh_distance, mano_layer.py:429-441).
+
+    Index semantics preserved from the reference (A/B-tested): the loop
+    is 0-BASED — part 0 pairs palm points (seg 0) with wrist-argmax
+    verts, parts 1..14 pair bone seg k with joint-k verts, and bone 15
+    (fingertip bones' last segment) is never evaluated.  (Note this
+    differs from calculate_point2shpere_distance, which is 1-based —
+    an inconsistency inside the reference itself.)
+
+    Reduction quirk kept: the reference takes mean-over-ALL-points of
+    min distances where non-part points contribute 1e5 each."""
     mesh778 = mesh[:, : model.n_verts]
     d = jnp.sum((pcl[:, :, None] - mesh778[:, None]) ** 2, -1)   # (B,P,V)
     losses = []
     for part in range(15):
-        vert_ok = model.vertex_seg == (part + 1)                 # (V,)
+        vert_ok = model.vertex_seg == part                       # (V,)
         dm = jnp.where(vert_ok[None, None], d, 1e5)
         dmin = dm.min(-1)                                        # (B,P)
-        sel = pcl_seg == part + 1
-        dmin = jnp.where(sel, dmin, 1e5)
-        losses.append(jnp.where(sel.any(-1),
-                                jnp.where(sel, dmin, 0.0).sum(-1)
-                                / jnp.maximum(sel.sum(-1), 1), 0.0))
+        sel = pcl_seg == part
+        dmin = jnp.where(sel, dmin, 1e5)                         # ref line 437
+        losses.append(dmin.mean(-1))
     return jnp.stack(losses, -1)
 
 

@@ -63,10 +63,17 @@ def install_stubs():
         loss.chamfer_distance = _StubClass()
         p3d_ops = _mk_module("pytorch3d.ops")
         p3d_ops.sample_points_from_meshes = _StubClass()
+        _c = _mk_module("pytorch3d._C")
+        for fn in ("point_face_dist_forward", "point_face_dist_backward",
+                   "face_point_dist_forward", "face_point_dist_backward",
+                   "point_edge_dist_forward", "point_edge_dist_backward",
+                   "edge_point_dist_forward", "edge_point_dist_backward"):
+            setattr(_c, fn, _StubClass())
         p3d.renderer = renderer
         p3d.structures = structures
         p3d.loss = loss
         p3d.ops = p3d_ops
+        p3d._C = _c
 
 
 def load_reference_module(relpath: str, name: str):
