@@ -78,10 +78,16 @@ def com_to_bounds(com, size, paras):
 def bounds_to_trans(xstart, xend, ystart, yend, crop_size):
     """Bounds -> 3x3 crop matrix M (full-frame px -> crop px).
 
-    Aspect-preserving scale + centering, with the reference's integer
-    truncations kept bit-for-bit (ref: Offset2Trans,
-    mano_layer.py:1143-1169; equivalently comToTransform "changed by
-    pengfeiren", render_loader.py:366-401).
+    Aspect-preserving scale + centering, with the reference's
+    RENDER-side integer truncations kept bit-for-bit (ref: Offset2Trans,
+    mano_layer.py:1143-1169, which truncates sz to int BEFORE the
+    centering floor).  NOTE: the reference's loader-side comToTransform
+    (render_loader.py:366-401) keeps sz as float there, so the two
+    sides of the reference can differ by 1px of centering offset for
+    some samples; this function is the render-side flavor (all in-graph
+    renders), while data/crop.py reproduces the loader flavor for the
+    host crop path.  Both are A/B-tested against their respective
+    reference copies.
     """
     cw, ch = float(crop_size[0]), float(crop_size[1])
     wb = xend - xstart

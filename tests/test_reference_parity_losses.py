@@ -352,3 +352,105 @@ def test_finger_icp_loss_matches_reference(ref_meshloss, ref_mano, our_mano):
         jnp.asarray(mesh), jnp.asarray(pcl), our_mano.faces,
         our_mano.finger_face_mask, jnp.asarray(fseg)))
     np.testing.assert_allclose(ours, r, atol=1e-6, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Render-side label chain: forward / render label math + M
+# ---------------------------------------------------------------------------
+
+class _Fragments:
+    def __init__(self, zbuf):
+        self.zbuf = zbuf
+
+
+@pytest.fixture(scope="module")
+def ref_render(assets):
+    """The reference Render module on CPU with (a) .cuda() no-op'd,
+    (b) the pytorch3d rasterizer replaced by an all-background stub —
+    the LABEL chain (JointTrans / comToBounds / Offset2Trans /
+    normalize_img) is pure torch and runs for real."""
+    m = load_reference_module("render_model/mano_layer.py", "ref_mano_layer")
+    orig_t_cuda = torch.Tensor.cuda
+    orig_m_cuda = torch.nn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    try:
+        import os
+        rend = m.Render(os.path.dirname(assets[0]), "nyu", NYU, (640, 480))
+    finally:
+        torch.Tensor.cuda = orig_t_cuda
+        torch.nn.Module.cuda = orig_m_cuda
+    rend.rasterizer = lambda meshes: _Fragments(
+        torch.full((0,), 0.0).new_full((_REF_B, 640, 640, 1), -1.0))
+    return m, rend
+
+
+_REF_B = 3
+
+
+def _render_inputs(seed=41, B=_REF_B):
+    rng = np.random.RandomState(seed)
+    para = np.concatenate(
+        [rng.uniform(-1, 1, (B, 3)), rng.randn(B, 45) * 0.5,
+         rng.randn(B, 10) * 0.5, np.ones((B, 1)), rng.randn(B, 3) * 0.1],
+        axis=1).astype(np.float32)
+    center = rng.uniform([-60, -60, 650], [60, 60, 950],
+                         (B, 3)).astype(np.float32)
+    cube = np.full((B, 3), 250.0, np.float32)
+    return para, center, cube
+
+
+def test_render_labels_match_reference(ref_render, our_mano):
+    """Render.render's joint_uvd / joint_xyz / mesh_xyz — the mm-parity
+    label chain through comToBounds -> Offset2Trans -> JointTrans
+    (ref mano_layer.py:1071-1097)."""
+    import dsf_tpu.render.renderer as rnd
+    _, rend = ref_render
+    para, center, cube = _render_inputs()
+    with torch.no_grad():
+        _, r_uvd, r_xyz, r_mesh = rend.render(
+            torch.tensor(para), torch.tensor(center), torch.tensor(cube))
+    r = rnd.Renderer.create(our_mano, "nyu", NYU, (640, 480))
+    _, o_uvd, o_xyz, o_mesh = rnd.render_params(
+        r, jnp.asarray(para), jnp.asarray(center), jnp.asarray(cube))
+    np.testing.assert_allclose(np.asarray(o_uvd), r_uvd.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(o_xyz), r_xyz.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(o_mesh), r_mesh.numpy(), atol=2e-4)
+
+
+def test_synth_factory_labels_match_reference(ref_render, our_mano):
+    """Render.forward's label outputs + crop matrix M with every
+    augmentation channel active (fixed draws), mask off
+    (ref mano_layer.py:983-1039)."""
+    import dsf_tpu.render.renderer as rnd
+    _, rend = ref_render
+    para, center, cube = _render_inputs(seed=42)
+    rng = np.random.RandomState(43)
+    B = para.shape[0]
+    aug_view = rng.uniform(0, 2 * np.pi, (B, 3)).astype(np.float32)
+    aug_shape = (rng.randn(B, 10) * 3).astype(np.float32)
+    aug_center = ((rng.rand(B, 3) - 0.5) * 40).astype(np.float32)
+    aug_size = (1 + (rng.rand(B, 1) - 0.5) * 0.4).astype(np.float32)
+    with torch.no_grad():
+        out = rend.forward(torch.tensor(para), torch.tensor(center),
+                           torch.tensor(cube),
+                           augmentView=torch.tensor(aug_view),
+                           augmentShape=torch.tensor(aug_shape),
+                           augmentCenter=torch.tensor(aug_center),
+                           augmentSize=torch.tensor(aug_size), mask=False)
+    _, r_juvd, r_vuvd, r_jxyz, r_vxyz, r_c3d, r_cube, r_M = out
+    r = rnd.Renderer.create(our_mano, "nyu", NYU, (640, 480))
+    o = rnd.synth_sample(
+        r, jax.random.PRNGKey(0), jnp.asarray(para), jnp.asarray(cube),
+        center3d=jnp.asarray(center), augment_view=jnp.asarray(aug_view),
+        augment_shape=jnp.asarray(aug_shape),
+        augment_center=jnp.asarray(aug_center),
+        augment_size=jnp.asarray(aug_size), mask=False)
+    _, o_juvd, o_vuvd, o_jxyz, o_vxyz, o_c3d, o_cube, o_M = o
+    np.testing.assert_allclose(np.asarray(o_M), r_M.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o_c3d), r_c3d.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_cube), r_cube.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_juvd), r_juvd.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(o_vuvd), r_vuvd.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(o_jxyz), r_jxyz.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(o_vxyz), r_vxyz.numpy(), atol=2e-4)
