@@ -45,8 +45,22 @@ MASK_W = 32          # one-hot width for the part table (<=31 parts)
 
 
 def _kernel(masked, p_ref, fc_ref, oh_ref, pm_ref, dmin_ref, imin_ref):
-    """p (1, P, 4) = [x y z p.p]; fc (1, 16, Tp); oh (1, P, MASK_W)
-    one-hot; pm (MASK_W, Tp) face-part table; out dmin/imin (1, 1, P)."""
+    """Divide-free distance evaluation.
+
+    p (1, P, 4) = [x y z p.p]; fc (1, 27, Tp) per-face constants (see
+    _face_constants27); oh (1, P, MASK_W) one-hot; pm (MASK_W, Tp)
+    face-part table; out dmin/imin (1, 1, P).
+
+    Instead of solving for the barycentric closest point (the Ericson
+    form needs ~5 VPU divides + clips per pair — divides are the
+    per-pair cost ceiling), each Voronoi region's squared distance has
+    a closed divide-free form given per-face reciprocals precomputed in
+    XLA:
+      vertex  A/B/C:  p.p - 2 p.v + v.v
+      edge    e=(u,v): |p-u|^2 - (e.(p-u))^2 / |e|^2   (region keeps the
+              projection parameter in [0,1], so no clamp is needed)
+      face    : (n.(p-a))^2 / |n|^2
+    The region tests are the same sign tests as the Ericson form."""
     P = p_ref.shape[1]
     Tp = fc_ref.shape[2]
     n_pt = P // TILE
@@ -64,21 +78,22 @@ def _kernel(masked, p_ref, fc_ref, oh_ref, pm_ref, dmin_ref, imin_ref):
         def face_chunk(ci, carry):
             dmin, imin = carry
             s = ci * FACE_CHUNK
-            fc = fc_ref[0, :, pl.ds(s, FACE_CHUNK)]     # (16, FC)
+            fc = fc_ref[0, :, pl.ds(s, FACE_CHUNK)]     # (27, FC)
             ax, ay, az = fc[0:1], fc[1:2], fc[2:3]
             abx, aby, abz = fc[3:4], fc[4:5], fc[5:6]
             acx, acy, acz = fc[6:7], fc[7:8], fc[8:9]
-            ab_a, ac_a = fc[9:10], fc[10:11]
-            ab_b, ac_b = fc[11:12], fc[12:13]
-            ab_c, ac_c = fc[13:14], fc[14:15]
-            aa = fc[15:16]
-            abab = ab_b - ab_a
-            acac = ac_c - ac_a
-            abac = ac_b - ac_a
+            nx, ny, nz = fc[9:10], fc[10:11], fc[11:12]
+            ab_a, ac_a = fc[12:13], fc[13:14]
+            ab_b, ac_b = fc[14:15], fc[15:16]
+            ab_c, ac_c = fc[16:17], fc[17:18]
+            aa, bb, cc = fc[18:19], fc[19:20], fc[20:21]
+            inv_abab, inv_acac, inv_bcbc = fc[21:22], fc[22:23], fc[23:24]
+            bc_b, n_a, inv_nn = fc[24:25], fc[25:26], fc[26:27]
 
             s1 = px * abx + py * aby + pz * abz          # ab . p
             s2 = px * acx + py * acy + pz * acz          # ac . p
             pa = px * ax + py * ay + pz * az             # a . p
+            pn = px * nx + py * ny + pz * nz             # n . p
 
             d1 = s1 - ab_a
             d2 = s2 - ac_a
@@ -90,40 +105,23 @@ def _kernel(masked, p_ref, fc_ref, oh_ref, pm_ref, dmin_ref, imin_ref):
             vc = d1 * d4 - d3 * d2
             vb = d5 * d2 - d1 * d6
             va = d3 * d6 - d5 * d4
-            den = va + vb + vc
 
-            def safe_div(n, d):
-                return n / jnp.where(jnp.abs(d) < _EPS, _EPS, d)
+            dA = pp - 2.0 * pa + aa
+            dB = pp - 2.0 * (pa + s1) + bb               # p.b = p.a + ab.p
+            dC = pp - 2.0 * (pa + s2) + cc
+            e_bc = (s2 - s1) - bc_b                      # bc.(p - b)
 
-            v = safe_div(vb, den)
-            w = safe_div(vc, den)
-            # edge bc
-            t_bc = jnp.clip(safe_div(d4 - d3, (d4 - d3) + (d5 - d6)), 0., 1.)
-            on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
-            v = jnp.where(on_bc, 1.0 - t_bc, v)
-            w = jnp.where(on_bc, t_bc, w)
-            # edge ac
-            on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
-            v = jnp.where(on_ac, 0.0, v)
-            w = jnp.where(on_ac, jnp.clip(safe_div(d2, d2 - d6), 0., 1.), w)
-            # edge ab
-            on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
-            v = jnp.where(on_ab, jnp.clip(safe_div(d1, d1 - d3), 0., 1.), v)
-            w = jnp.where(on_ab, 0.0, w)
-            # vertices
-            in_c = (d6 >= 0) & (d5 <= d6)
-            v = jnp.where(in_c, 0.0, v)
-            w = jnp.where(in_c, 1.0, w)
-            in_b = (d3 >= 0) & (d4 <= d3)
-            v = jnp.where(in_b, 1.0, v)
-            w = jnp.where(in_b, 0.0, w)
-            in_a = (d1 <= 0) & (d2 <= 0)
-            v = jnp.where(in_a, 0.0, v)
-            w = jnp.where(in_a, 0.0, w)
-
-            qq = (aa + v * (2.0 * ab_a + v * abab)
-                  + w * (2.0 * ac_a + w * acac) + 2.0 * v * w * abac)
-            d = pp - 2.0 * (pa + v * s1 + w * s2) + qq    # (TILE, FC)
+            dpn = pn - n_a
+            d = dpn * dpn * inv_nn                       # face interior
+            d = jnp.where((va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0),
+                          dB - e_bc * e_bc * inv_bcbc, d)
+            d = jnp.where((vb <= 0) & (d2 >= 0) & (d6 <= 0),
+                          dA - d2 * d2 * inv_acac, d)
+            d = jnp.where((vc <= 0) & (d1 >= 0) & (d3 <= 0),
+                          dA - d1 * d1 * inv_abab, d)
+            d = jnp.where((d6 >= 0) & (d5 <= d6), dC, d)
+            d = jnp.where((d3 >= 0) & (d4 <= d3), dB, d)
+            d = jnp.where((d1 <= 0) & (d2 <= 0), dA, d)
             d = jnp.maximum(d, 0.0)
             if masked:
                 allowed = jax.lax.dot_general(
@@ -149,7 +147,7 @@ def _kernel(masked, p_ref, fc_ref, oh_ref, pm_ref, dmin_ref, imin_ref):
 
 
 def _face_constants(tris):
-    """(B, T, 3, 3) -> (B, 16, T) constants for the kernel."""
+    """(B, T, 3, 3) -> (B, 16, T) constants for the culled kernel."""
     a = tris[..., 0, :]
     b = tris[..., 1, :]
     c = tris[..., 2, :]
@@ -163,6 +161,34 @@ def _face_constants(tris):
             jnp.sum(ab * c, -1), jnp.sum(ac * c, -1),
             jnp.sum(a * a, -1)]
     return jnp.stack(rows, axis=1)                      # (B, 16, T)
+
+
+def _face_constants27(tris):
+    """(B, T, 3, 3) -> (B, 27, T) constants for the divide-free kernel.
+
+    Rows: a(3) ab(3) ac(3) n(3) | ab.a ac.a ab.b ac.b ab.c ac.c |
+    a.a b.b c.c | 1/ab.ab 1/ac.ac 1/bc.bc | bc.b n.a 1/n.n.
+    Requires non-degenerate faces (nonzero edge lengths and area)."""
+    a = tris[..., 0, :]
+    b = tris[..., 1, :]
+    c = tris[..., 2, :]
+    ab = b - a
+    ac = c - a
+    bc = c - b
+    n = jnp.cross(ab, ac)
+    rows = [a[..., 0], a[..., 1], a[..., 2],
+            ab[..., 0], ab[..., 1], ab[..., 2],
+            ac[..., 0], ac[..., 1], ac[..., 2],
+            n[..., 0], n[..., 1], n[..., 2],
+            jnp.sum(ab * a, -1), jnp.sum(ac * a, -1),
+            jnp.sum(ab * b, -1), jnp.sum(ac * b, -1),
+            jnp.sum(ab * c, -1), jnp.sum(ac * c, -1),
+            jnp.sum(a * a, -1), jnp.sum(b * b, -1), jnp.sum(c * c, -1),
+            1.0 / jnp.sum(ab * ab, -1), 1.0 / jnp.sum(ac * ac, -1),
+            1.0 / jnp.sum(bc * bc, -1),
+            jnp.sum(bc * b, -1), jnp.sum(n * a, -1),
+            1.0 / jnp.maximum(jnp.sum(n * n, -1), _EPS)]
+    return jnp.stack(rows, axis=1)                      # (B, 27, T)
 
 
 def _kernel_culled(masked, p_ref, fc_ref, oh_ref, pm_ref, run_ref,
@@ -284,14 +310,16 @@ def argmin_faces_pallas(points, tris, part_mask=None, point_part=None):
     B, P, _ = points.shape
     T = tris.shape[1]
 
-    fc = _face_constants(tris)
     pad_f = (-T) % FACE_CHUNK
     if pad_f:
-        fc = jnp.pad(fc, ((0, 0), (0, 0), (0, pad_f)))
-        # padded faces: make them infinitely far via aa = INF
-        Tp = T + pad_f
-        far = jnp.arange(Tp) >= T
-        fc = fc.at[:, 15, :].set(jnp.where(far, _INF, fc[:, 15, :]))
+        # pad with real far-away tiny triangles so every divide-free
+        # constant stays finite; at 1e4 units out they can never win
+        far_tri = jnp.asarray(
+            [[1e4, 1e4, 1e4], [1e4 + 1, 1e4, 1e4], [1e4, 1e4 + 1, 1e4]],
+            tris.dtype)
+        tris = jnp.concatenate(
+            [tris, jnp.broadcast_to(far_tri, (B, pad_f, 3, 3))], axis=1)
+    fc = _face_constants27(tris)
     Tp = fc.shape[2]
 
     pp = jnp.sum(points * points, -1, keepdims=True)
@@ -328,7 +356,7 @@ def argmin_faces_pallas(points, tris, part_mask=None, point_part=None):
         in_specs=[
             pl.BlockSpec((1, Pp, 4), lambda bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16, Tp), lambda bi: (bi, 0, 0),
+            pl.BlockSpec((1, 27, Tp), lambda bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, oh_P, MASK_W), lambda bi: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
