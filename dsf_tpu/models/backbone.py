@@ -127,8 +127,7 @@ class ManoOCRStage(nn.Module):
 
     @nn.compact
     def __call__(self, img, render: Optional[rnd.Renderer] = None,
-                 center=None, cube=None, train: bool = True,
-                 return_render: bool = False):
+                 center=None, cube=None, train: bool = True):
         g = self.bn_groups
         c0, c4 = _Trunk(self.depth, True, 64, self.bn_axis_name, self.dtype,
                         g, name="trunk")(nchw_to_nhwc(img), train)
@@ -138,15 +137,18 @@ class ManoOCRStage(nn.Module):
         img_result_out = nhwc_to_nchw(img_result)
 
         if not self.refine:
-            return ([[img_result_out, mano_para]], None) if return_render \
-                else [[img_result_out, mano_para]]
+            return [[img_result_out, mano_para]]
 
         # stage 2: re-render stage-1 MANO inside the forward pass.
         # The remap feature size equals the decoder resolution (input/2;
-        # the reference hardcodes 64 for its 128 inputs, backbone.py:305).
-        render_s1 = rnd.render_params(
-            render, mano_para.astype(jnp.float32), center, cube)
-        mano_img, mano_joint_uvd, _, _ = render_s1
+        # the reference hardcodes 64 for its 128 inputs, backbone.py:305)
+        # and the remap codec nearest-downsamples the render to that
+        # size anyway (GFM.joint2offset) — so raster DIRECTLY at the
+        # decimated pixel subset (img_stride=2): bitwise-equal remap
+        # input at 1/4 the raster work (see rasterize.crop_pixel_rays).
+        mano_img, mano_joint_uvd, _, _ = rnd.render_params(
+            render, mano_para.astype(jnp.float32), center, cube,
+            img_stride=2)
         remap = joint2offset(mano_joint_uvd, mano_img, 0.8,
                              img_result.shape[1])
         fusion = jnp.concatenate(
@@ -159,10 +161,5 @@ class ManoOCRStage(nn.Module):
         img_result_s2, mano_para_s2, _ = _Heads(
             self.joint_num, self.bn_axis_name, self.dtype, g,
             name="heads_s2")(c4_s2, train)
-        outputs = [[img_result_out, mano_para],
-                   [nhwc_to_nchw(img_result_s2), mano_para_s2]]
-        # expose the internal render: the trainer's stage-1 losses need
-        # exactly this render (same params/center/cube) — reusing it
-        # saves one raster forward+backward per step (the reference
-        # redundantly re-renders, train_render.py:719)
-        return (outputs, render_s1) if return_render else outputs
+        return [[img_result_out, mano_para],
+                [nhwc_to_nchw(img_result_s2), mano_para_s2]]

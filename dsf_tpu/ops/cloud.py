@@ -73,9 +73,14 @@ def img_to_pcl(key, img, center, M, cube, paras, img_size,
 
     score = jax.random.uniform(key, valid.shape)
     score = jnp.where(valid, score, -1.0)
-    order = jnp.argsort(-score, axis=-1)           # valid first, random order
+    # top_k == the first sample_num rows of argsort(-score) (same
+    # descending order, random scores so no ties) at a fraction of the
+    # full sort's cost — the wrap indexing below never reaches past
+    # min(n_valid, sample_num), so the truncation is invisible
+    _, order = jax.lax.top_k(score, sample_num)    # valid first, random order
     n_valid = valid.sum(-1)
-    take = jnp.arange(sample_num)[None, :] % jnp.maximum(n_valid, 1)[:, None]
+    take = jnp.arange(sample_num)[None, :] % jnp.maximum(
+        jnp.minimum(n_valid, sample_num), 1)[:, None]
     idx = jnp.take_along_axis(order, take, axis=-1)
     pcl = jnp.take_along_axis(xyz, idx[..., None], axis=1)
     return jnp.where((n_valid > 0)[:, None, None], pcl, 0.0)

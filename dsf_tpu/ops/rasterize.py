@@ -52,17 +52,24 @@ def full_frame_pixel_rays(img_size):
     return jnp.stack([u.ravel(), v.ravel()], axis=-1)
 
 
-def crop_pixel_rays(M, crop_size):
+def crop_pixel_rays(M, crop_size, stride=1):
     """Map integer crop-pixel coords through M^-1 to full-frame positions.
 
     M: (..., 3, 3) crop matrices.  Returns (..., crop*crop, 2) sample
     positions — the exact positions the reference's warpPerspective
     samples (mano_layer.py:1244-1255 builds its grid from integer crop
     coords, no half-pixel shift).
+
+    ``stride`` > 1 keeps every stride-th crop pixel (coords 0, s, 2s,
+    ...) — exactly the pixels F.interpolate-nearest keeps when the
+    stride-1 image is downscaled by ``stride`` (src = floor(dst*s) =
+    dst*s), so rastering at stride s is bitwise-identical to rastering
+    at stride 1 then resize_nearest, at 1/s^2 the pixels.
     """
-    cw, ch = crop_size
-    u, v = jnp.meshgrid(jnp.arange(cw, dtype=jnp.float32),
-                        jnp.arange(ch, dtype=jnp.float32), indexing="xy")
+    cw, ch = crop_size[0] // stride, crop_size[1] // stride
+    u, v = jnp.meshgrid(jnp.arange(cw, dtype=jnp.float32) * stride,
+                        jnp.arange(ch, dtype=jnp.float32) * stride,
+                        indexing="xy")
     pix = jnp.stack([u.ravel(), v.ravel(), jnp.ones(cw * ch, jnp.float32)], axis=-1)
     Minv = geo.inv_3x3(M)
     uv = geo.transform_points_2d(

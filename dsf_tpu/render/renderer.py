@@ -54,15 +54,18 @@ class Renderer:
             depth_range=DEPTH_RANGE.get(dataset, (500.0, 1200.0)))
 
 
-def _raster_crop(r: Renderer, verts, M):
-    """Rasterize world-mm verts into the (crop, crop) frame through M.
+def _raster_crop(r: Renderer, verts, M, stride=1):
+    """Rasterize world-mm verts into the (crop/stride)^2 frame through M.
 
     The dense scan is the measured champion at MANO scale (B=32, 128^2,
     1554 faces: 8.9ms vs 9-22ms for every binned variant — see
-    ops/rasterize.py BIN notes), so tile binning stays off here."""
-    rays = ras.crop_pixel_rays(M, r.crop_size)
+    ops/rasterize.py BIN notes), so tile binning stays off here.
+    stride > 1 rasters the nearest-downsample pixel subset directly
+    (bitwise-equal to raster-then-resize_nearest, see crop_pixel_rays)."""
+    rays = ras.crop_pixel_rays(M, r.crop_size, stride)
     z = ras.rasterize_depth(verts, r.mano.faces, rays, r.paras, r.flip)
-    return z.reshape(verts.shape[0], 1, r.crop_size[1], r.crop_size[0])
+    return z.reshape(verts.shape[0], 1, r.crop_size[1] // stride,
+                     r.crop_size[0] // stride)
 
 
 def _normalize(r: Renderer, depth_img, com_uvd, cube):
@@ -125,13 +128,17 @@ def synth_sample(r: Renderer, key, model_para, cube,
     return img, joint_uvd, verts_uvd, joint_xyz, verts_xyz, center3d, cube, M
 
 
-def render_params(r: Renderer, model_para, center3d, cube):
+def render_params(r: Renderer, model_para, center3d, cube, img_stride=1):
     """Crop-frame re-render of predicted MANO params (ref: Render.render,
     mano_layer.py:1071-1097; cam lives in normalized units via the 1/125
     global pre-scale).
 
     Returns (img, joint_uvd, joint_xyz, mesh_xyz) — xyz in normalized
-    cube units, img normalized depth.
+    cube units, img normalized depth.  ``img_stride`` > 1 renders the
+    image at crop/stride resolution (the nearest-downsample pixel
+    subset, bitwise-equal to full render + resize_nearest) — used by the
+    net's internal stage-2 input render whose consumer (the 64x64 remap
+    codec) nearest-downsamples anyway.
     """
     rot, theta, beta, cam = mano.split_params(model_para)
     verts, joints = mano.get_mano_vertices(r.mano, rot, theta, beta, cam,
@@ -141,7 +148,7 @@ def render_params(r: Renderer, model_para, center3d, cube):
 
     com_uvd = geo.xyz_to_uvd(center3d[:, None], r.paras, r.flip)[:, 0]
     M = geo.crop_matrix(com_uvd, cube, r.paras, r.crop_size)
-    depth = _raster_crop(r, verts, M)
+    depth = _raster_crop(r, verts, M, img_stride)
     img = _normalize(r, depth, com_uvd, cube)
 
     joint_uvd = geo.joint_trans(joints, M, com_uvd, cube, r.paras,

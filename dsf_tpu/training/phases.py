@@ -129,22 +129,15 @@ def pretrain_loss(apply_fn, variables, key, model_para, cube, *,
     return loss, (new_state, metrics)
 
 
-def _apply(apply_fn, variables, img, r, center, cube, train,
-           return_render=False):
-    kw = {"return_render": True} if return_render else {}
+def _apply(apply_fn, variables, img, r, center, cube, train):
     if train:
         out, mut = apply_fn(variables, img, r, center, cube, train=True,
-                            mutable=["batch_stats"], **kw)
+                            mutable=["batch_stats"])
     else:
-        out = apply_fn(variables, img, r, center, cube, train=False, **kw)
+        out = apply_fn(variables, img, r, center, cube, train=False)
         mut = {}
-    render_s1 = None
-    if return_render:
-        out, render_s1 = out
     # losses always run in f32 regardless of the net's compute dtype
     out = [[o[0].astype(jnp.float32), o[1].astype(jnp.float32)] for o in out]
-    if return_render:
-        return out, render_s1, mut
     return out, mut
 
 
@@ -372,15 +365,12 @@ def finetune_stage_loss(apply_fn, variables, key, model_para, cube,
     img_t = transfer_fn(img) if transfer_fn is not None else img
 
     stacked = jnp.concatenate([img_t.astype(jnp.float32), img_r], axis=0)
-    out_2b, render_2b, state1 = _apply(
+    out_2b, state1 = _apply(
         apply2_fn or apply_fn, variables, stacked, r,
         jnp.concatenate([center_s, center_r], axis=0),
-        jnp.concatenate([cube_s, cube_r], axis=0), train,
-        return_render=True)
+        jnp.concatenate([cube_s, cube_r], axis=0), train)
     outputs = [[o[0][:B], o[1][:B]] for o in out_2b]
     outputs_r = [[o[0][B:], o[1][B:]] for o in out_2b]
-    render_s1_real = (None if render_2b is None
-                      else tuple(t[B:] for t in render_2b))
     loss = 0.0
     metrics = {}
     pixel_s = jnp.concatenate([outputs[0][0], outputs[1][0]], axis=0)
@@ -426,18 +416,11 @@ def finetune_stage_loss(apply_fn, variables, key, model_para, cube,
                                    two(cube_r), r.paras, cfg.input_size,
                                    r.flip)
 
-    # stage-1's render is the net's own stage-2 input render (same
-    # params/center/cube — the reference redundantly re-renders, :719);
-    # stage-2's render happens here.  Fallback: batch both in one raster.
-    if render_s1_real is not None:
-        render_s2 = rnd.render_params(r, outputs_r[1][1], center_r, cube_r)
-        rendered = [jnp.concatenate([a, b], axis=0)
-                    for a, b in zip(render_s1_real, render_s2)]
-    else:
-        para_r2 = jnp.concatenate([outputs_r[0][1], outputs_r[1][1]], axis=0)
-        rendered = list(rnd.render_params(r, para_r2, two(center_r),
-                                          two(cube_r)))
-    mano_img_r2, mano_juvd_r2, mano_jxyz_r2, mesh_r2 = rendered
+    # both stages' loss renders (the reference renders each separately,
+    # :719 and :759) run as ONE [stage1 | stage2] raster at 2B
+    para_r2 = jnp.concatenate([outputs_r[0][1], outputs_r[1][1]], axis=0)
+    mano_img_r2, mano_juvd_r2, mano_jxyz_r2, mesh_r2 = rnd.render_params(
+        r, para_r2, two(center_r), two(cube_r))
 
     coll_r2 = sph.collision_loss(r.mano, mano_jxyz_r2,
                                  jax.lax.stop_gradient(mesh_r2),
