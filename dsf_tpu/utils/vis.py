@@ -1,22 +1,104 @@
 """Visualization utilities: 2D pose overlays, segmentation colormaps,
-mesh obj export (subset of util/vis_tool.py the training loop uses:
-draw_2d_pose, get_segmentJointColor, debug_mesh)."""
+mesh obj export (the training-loop subset of util/vis_tool.py:
+draw_2d_pose/draw_pose, get_sketch_setting, get_joint_color,
+get_segmentJointColor, debug_mesh)."""
 
 from __future__ import annotations
 
 import numpy as np
 
-# skeleton edges per dataset ordering (ref: get_sketch_setting,
-# vis_tool.py:238+; MANO = 21-joint bighand-style chains)
+# skeleton edges per dataset joint ordering (ref: get_sketch_setting,
+# vis_tool.py:238-278; MANO = 21-joint bighand-style chains)
 SKETCH = {
     "MANO": [(0, 1), (1, 2), (2, 3), (3, 16),
              (0, 4), (4, 5), (5, 6), (6, 17),
              (0, 7), (7, 8), (8, 9), (9, 18),
              (0, 10), (10, 11), (11, 12), (12, 19),
              (0, 13), (13, 14), (14, 15), (15, 20)],
+    "hands": [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5),
+              (1, 6), (6, 7), (7, 8),
+              (2, 9), (9, 10), (10, 11),
+              (3, 12), (12, 13), (13, 14),
+              (4, 15), (15, 16), (16, 17),
+              (5, 18), (18, 19), (19, 20)],
     "nyu": [(0, 1), (2, 3), (4, 5), (6, 7), (8, 9), (9, 10),
             (1, 13), (3, 13), (5, 13), (7, 13), (10, 13), (11, 13), (12, 13)],
+    "icvl": [(0, 1), (1, 2), (2, 3), (0, 4), (4, 5), (5, 6),
+             (0, 7), (7, 8), (8, 9), (0, 10), (10, 11), (11, 12),
+             (0, 13), (13, 14), (14, 15)],
+    "msra": [(0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 6), (6, 7), (7, 8),
+             (0, 9), (9, 10), (10, 11), (11, 12),
+             (0, 13), (13, 14), (14, 15), (15, 16),
+             (0, 17), (17, 18), (18, 19), (19, 20)],
+    "shrec": [(0, 1),
+              (0, 2), (2, 3), (3, 4), (4, 5),
+              (0, 6), (6, 7), (7, 8), (8, 9),
+              (0, 10), (10, 11), (11, 12), (12, 13),
+              (0, 14), (14, 15), (15, 16), (16, 17),
+              (0, 18), (18, 19), (19, 20), (20, 21)],
 }
+SKETCH["dhg"] = SKETCH["shrec"]
+
+
+def get_sketch_setting(dataset):
+    """Edge list for a dataset's joint order (ref: vis_tool.py:238)."""
+    return SKETCH.get(dataset, SKETCH["MANO"])
+
+
+# per-finger BGR colors matching the reference's Finger_color enum
+# (vis_tool.py:~80): WRIST/ROOT, THUMB, INDEX, MIDDLE, RING, LITTLE
+_F = {
+    "ROOT": (220, 220, 220), "WRIST": (220, 220, 220),
+    "THUMB": (0, 0, 255), "INDEX": (0, 255, 0), "MIDDLE": (255, 0, 0),
+    "RING": (0, 255, 255), "LITTLE": (255, 0, 255),
+}
+
+# per-joint finger assignment per dataset (ref: get_joint_color,
+# vis_tool.py:535-583)
+_JOINT_FINGER = {
+    "MANO": ["ROOT",
+             "INDEX", "INDEX", "INDEX", "MIDDLE", "MIDDLE", "MIDDLE",
+             "LITTLE", "LITTLE", "LITTLE", "RING", "RING", "RING",
+             "THUMB", "THUMB", "THUMB",
+             "INDEX", "MIDDLE", "LITTLE", "RING", "THUMB"],
+    "hands": ["ROOT", "THUMB", "INDEX", "MIDDLE", "RING", "LITTLE",
+              "THUMB", "THUMB", "THUMB", "INDEX", "INDEX", "INDEX",
+              "MIDDLE", "MIDDLE", "MIDDLE", "RING", "RING", "RING",
+              "LITTLE", "LITTLE", "LITTLE"],
+    "nyu": ["LITTLE", "LITTLE", "RING", "RING", "MIDDLE", "MIDDLE",
+            "INDEX", "INDEX", "THUMB", "THUMB", "THUMB",
+            "WRIST", "WRIST", "WRIST"],
+    "icvl": ["ROOT", "THUMB", "THUMB", "THUMB", "INDEX", "INDEX", "INDEX",
+             "MIDDLE", "MIDDLE", "MIDDLE", "RING", "RING", "RING",
+             "LITTLE", "LITTLE", "LITTLE"],
+    "msra": ["WRIST", "INDEX", "INDEX", "INDEX", "INDEX",
+             "MIDDLE", "MIDDLE", "MIDDLE", "MIDDLE",
+             "RING", "RING", "RING", "RING",
+             "LITTLE", "LITTLE", "LITTLE", "LITTLE",
+             "THUMB", "THUMB", "THUMB", "THUMB"],
+    "shrec": ["ROOT", "ROOT",
+              "THUMB", "THUMB", "THUMB", "THUMB",
+              "INDEX", "INDEX", "INDEX", "INDEX",
+              "MIDDLE", "MIDDLE", "MIDDLE", "MIDDLE",
+              "RING", "RING", "RING", "RING",
+              "LITTLE", "LITTLE", "LITTLE", "LITTLE"],
+}
+_JOINT_FINGER["dhg"] = _JOINT_FINGER["shrec"]
+
+
+def get_joint_color(dataset):
+    """Per-joint BGR colors (ref: get_joint_color, vis_tool.py:535)."""
+    names = _JOINT_FINGER.get(dataset, _JOINT_FINGER["MANO"])
+    return [_F[n] for n in names]
+
+
+def get_sketch_color(dataset):
+    """Per-edge BGR colors: each bone takes its child joint's finger
+    color (ref: get_sketch_color, vis_tool.py:~480)."""
+    jc = get_joint_color(dataset)
+    return [jc[b] if b < len(jc) else jc[-1]
+            for _, b in get_sketch_setting(dataset)]
+
 
 _FINGER_COLORS = np.array([
     [255, 255, 255],   # palm / wrist
@@ -42,7 +124,8 @@ def depth_to_u8(img):
 
 def draw_2d_pose(img, joint_uvd, dataset="MANO"):
     """Overlay a normalized-uvd skeleton on a depth crop; returns an RGB
-    uint8 image (ref: draw_2d_pose, vis_tool.py:914)."""
+    uint8 image (ref: draw_2d_pose, vis_tool.py:914), colored per finger
+    like the reference's draw_pose."""
     try:
         import cv2
     except Exception:                                # pragma: no cover
@@ -50,13 +133,25 @@ def draw_2d_pose(img, joint_uvd, dataset="MANO"):
     canvas = np.stack([depth_to_u8(img)] * 3, -1).copy()
     h, w = canvas.shape[:2]
     uv = ((np.asarray(joint_uvd)[:, :2] + 1) / 2 * np.array([w, h])).astype(int)
-    edges = SKETCH.get(dataset, SKETCH["MANO"])
-    for a, b in edges:
-        if a < len(uv) and b < len(uv):
-            cv2.line(canvas, tuple(uv[a]), tuple(uv[b]), (0, 160, 255), 1)
-    for j, (x, y) in enumerate(uv):
-        cv2.circle(canvas, (x, y), 2, (0, 0, 255), -1)
-    return canvas
+    return draw_pose(dataset, canvas, uv)
+
+
+def draw_pose(dataset, img, pose, scale=1):
+    """Pixel-coordinate pose overlay with per-finger joint/bone colors
+    (ref: draw_pose, vis_tool.py:601-620).  Mutates and returns img."""
+    import cv2
+    pose = np.asarray(pose)
+    colors_joint = get_joint_color(dataset)
+    for idx, pt in enumerate(pose[:len(colors_joint)]):
+        cv2.circle(img, (int(pt[0]), int(pt[1])), 2 * scale,
+                   colors_joint[idx], -1)
+    colors = get_sketch_color(dataset)
+    for idx, (a, b) in enumerate(get_sketch_setting(dataset)):
+        if a >= pose.shape[0] or b >= pose.shape[0]:
+            break
+        cv2.line(img, (int(pose[a, 0]), int(pose[a, 1])),
+                 (int(pose[b, 0]), int(pose[b, 1])), colors[idx], scale)
+    return img
 
 
 def save_obj(path, verts, faces):
