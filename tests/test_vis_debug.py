@@ -85,3 +85,75 @@ def test_save_label(tmp_path):
     rows = np.loadtxt(out)
     assert rows.shape == (B, 21 * 3)
     assert np.isfinite(rows).all()
+
+
+def test_batch_debug_writers(tmp_path):
+    rng = np.random.RandomState(4)
+    img = rng.uniform(-1, 1, (2, 1, 32, 32)).astype(np.float32)
+    juv = rng.uniform(-0.9, 0.9, (2, 21, 3)).astype(np.float32)
+
+    out = VD.debug_2d_pose(img, juv, 0, "MANO", str(tmp_path), "pd",
+                           save=True)
+    assert out.shape == (2, 32, 32, 3)
+    assert len(list(tmp_path.glob("*_pd.png"))) == 2
+
+    out = VD.debug_2d_img(img, 0, str(tmp_path), "raw")
+    assert out.shape == (2, 32, 32, 3)
+
+    show = VD.debug_2d_pose_index(img[0], juv[0], 7, "MANO",
+                                  str(tmp_path), "one")
+    assert show.shape == (32, 32, 3)
+    assert (tmp_path / "7_one.png").exists()
+
+    conf = rng.rand(2, 21).astype(np.float32)
+    out = VD.debug_confidence_joint(img, juv, conf, 0, "MANO",
+                                    str(tmp_path), "conf", save=True)
+    assert out.shape == (2, 32, 32, 3)
+
+    visible = rng.randint(0, 2, (2, 21))
+    out = VD.debug_visible_joint(img, juv, visible, 0, "MANO",
+                                 str(tmp_path), "vis")
+    assert out.shape == (2, 32, 32, 3)
+
+    out = VD.debug_point(img, juv[:, :5], 0, "MANO", str(tmp_path), "pt")
+    assert out.shape == (2, 32, 32, 3)
+
+    edges = VD.debug_canny(img, 0, str(tmp_path))
+    assert edges.shape == (2, 32, 32)
+
+    VD.debug_cluster(img, np.array([0, 1]), 0, str(tmp_path), "cl")
+    assert (tmp_path / "0").is_dir() and (tmp_path / "1").is_dir()
+
+
+def test_three_view_and_pcl_heatmap(tmp_path):
+    rng = np.random.RandomState(5)
+    pcl = rng.uniform(-0.9, 0.9, (2, 64, 3)).astype(np.float32)
+    joints = rng.uniform(-0.9, 0.9, (2, 21, 3)).astype(np.float32)
+    n = VD.debug_three_view_pose(pcl, joints, 0, "MANO", str(tmp_path),
+                                 "tv")
+    assert n == 3
+    assert len(list(tmp_path.glob("*-view*.png"))) == 6
+
+    hm = rng.uniform(-0.9, 0.9, (1, 2, 64, 3)).astype(np.float32)
+    out = VD.debug_pcl_heatmap(hm, 0, str(tmp_path))
+    assert out.shape == (2, 128, 128, 3)
+
+    img = VD.draw_depth_heatmap("MANO", pcl[0].T,
+                                rng.rand(21, 64).astype(np.float32), 3)
+    assert img.shape == (128, 128, 3)
+
+
+def test_debug_mesh_and_loss_distribution(tmp_path):
+    rng = np.random.RandomState(6)
+    verts = rng.randn(2, 10, 3).astype(np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5]])
+    VD.debug_mesh(verts, faces, 1, str(tmp_path), "mesh")
+    assert (tmp_path / "2_mesh.obj").exists()
+    assert (tmp_path / "3_mesh.obj").exists()
+
+    hist = VD.LossDistribution(bin_num=10)
+    hist.update(rng.rand(4, 21, 3) * 0.01, np.zeros((4, 21, 3)))
+    assert hist.batch_count.sum() == 4
+    assert hist.joint_count.sum() == 4 * 21
+    hist.vis(str(tmp_path))
+    assert (tmp_path / "loss_distribute.png").exists()
