@@ -55,3 +55,19 @@ def prediction_check(key, forward_fn, img, n_aug=5, kernel=0.8):
     heat = feat_mean[:, 3 * J:].reshape(B, J, S * S)
     conf = jax.nn.softmax(heat * 30.0, axis=-1).max(-1)
     return joints, conf
+
+
+def export_refine_centers(dataset, out_path):
+    """Export a dataset's refined centers as world-xyz rows after the
+    reference's y-negation roundtrip (project with flip=-1, unproject
+    with flip=+1) — the live body of debug_CCSSL
+    (ref: data/render_loader.py:5488-5495), which writes
+    center_test_<view>_refine_xyz.txt for the CCSSL center files."""
+    import numpy as np
+    from dsf_tpu.data import crop as C
+
+    c = np.asarray(dataset.center_xyz, np.float32).reshape(-1, 1, 3)
+    c = C.joint_img_to_3d(C.joint_3d_to_img(c, dataset.paras, flip=-1),
+                          dataset.paras, flip=1).reshape(-1, 3)
+    np.savetxt(out_path, c, fmt="%.3f")
+    return c

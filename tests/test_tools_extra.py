@@ -158,3 +158,40 @@ def test_self_intersection_part_meshes_nonadjacent():
     parts2[0] = _box_mesh([0.18, 0.37, 0.23], [10.18, 10.37, 10.23])
     parts2[1] = _box_mesh([5.18, 0.37, 0.23], [15.18, 10.37, 10.23])
     assert EC.self_intersection(parts2, pitch=1.0) == 0.0
+
+
+def test_set_seed_and_worker_init():
+    import random
+    import numpy as np
+    from dsf_tpu.utils import seeding
+
+    key = seeding.set_seed(123)
+    a = (random.random(), np.random.rand())
+    seeding.set_seed(123)
+    b = (random.random(), np.random.rand())
+    assert a == b
+    assert key.shape == (2,)
+    seeding.worker_init_fn(3)
+    assert seeding.GLOBAL_WORKER_ID == 3
+
+
+def test_export_refine_centers(tmp_path):
+    import numpy as np
+    from dsf_tpu.data import crop as C
+    from dsf_tpu.tools.ccssl import export_refine_centers
+
+    class FakeDS:
+        paras = (588.03, 587.07, 320.0, 240.0)
+        center_xyz = np.array([[10.0, -20.0, 750.0],
+                               [0.0, 5.0, 800.0]], np.float32)
+
+    out = tmp_path / "center_test_1_refine_xyz.txt"
+    c = export_refine_centers(FakeDS(), str(out))
+    rows = np.loadtxt(out)
+    assert rows.shape == (2, 3)
+    # the y-negation roundtrip: x and z unchanged, y negated in world
+    expect = C.joint_img_to_3d(
+        C.joint_3d_to_img(FakeDS.center_xyz[:, None], FakeDS.paras, -1),
+        FakeDS.paras, 1)[:, 0]
+    assert np.allclose(c, expect, atol=1e-5)
+    assert np.allclose(rows, np.round(expect, 3), atol=1e-3)
