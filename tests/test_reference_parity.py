@@ -312,6 +312,7 @@ def test_mano_ocr_forward_matches_reference():
 @pytest.mark.parametrize("nstack", [1, 2])
 def test_pose_net_forward_matches_reference(nstack):
     ref_hg = load_reference_module("model/hourglass.py", "ref_hourglass")
+    torch.manual_seed(0)   # unseeded init made the tolerance check flaky
     tnet = ref_hg.PoseNet(nstack, 21)
     tnet.eval()
 
