@@ -99,9 +99,16 @@ class BaseDataset:
         stop = object()
 
         def worker():
-            for b in self.batches(batch_size, **kw):
-                q.put(transform(b) if transform is not None else b)
-            q.put(stop)
+            # A worker exception must reach the consumer: without this,
+            # the generator blocks forever on q.get() while the dead
+            # thread's traceback goes to stderr only (observed hang on a
+            # missing test image mid-eval).
+            try:
+                for b in self.batches(batch_size, **kw):
+                    q.put(transform(b) if transform is not None else b)
+                q.put(stop)
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -109,6 +116,8 @@ class BaseDataset:
             b = q.get()
             if b is stop:
                 return
+            if isinstance(b, BaseException):
+                raise b
             yield b
 
 

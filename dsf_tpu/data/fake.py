@@ -58,13 +58,18 @@ def make_fake_nyu(root, mano_npz, n_train=64, n_test=32, seed=0):
             depth, joints = render(jnp.asarray(para), jnp.asarray(center3d))
             depth = np.asarray(depth)
             joints = np.asarray(joints)
+            # the test loop evaluates all 3 NYU camera views
+            # (train_render.py:878-888); reuse the same frame per view so
+            # the fixture supports the full protocol
+            n_views = 3 if phase == "test" else 1
             for b in range(k):
                 d16 = depth[b].astype(np.uint16)
                 bgr = np.zeros((H, W, 3), np.uint8)
                 bgr[:, :, 0] = d16 & 0xFF            # B = low byte
                 bgr[:, :, 1] = d16 >> 8              # G = high byte
-                cv2.imwrite(os.path.join(
-                    pdir, f"depth_1_{idx + 1:07d}.png"), bgr)
+                for v in range(n_views):
+                    cv2.imwrite(os.path.join(
+                        pdir, f"depth_{v + 1}_{idx + 1:07d}.png"), bgr)
                 all_joints.append(joints[b])
                 centers.append(center3d[b])
                 idx += 1
@@ -95,8 +100,9 @@ def make_fake_nyu(root, mano_npz, n_train=64, n_test=32, seed=0):
             raw_uvd[v][:, sel] = uvd
         sio.savemat(os.path.join(pdir, "joint_data.mat"),
                     {"joint_uvd": raw_uvd, "joint_xyz": raw_xyz})
-        np.savetxt(os.path.join(pdir, f"center_{phase}_0_refined.txt"),
-                   centers, fmt="%.4f")
+        for v in range(3 if phase == "test" else 1):
+            np.savetxt(os.path.join(pdir, f"center_{phase}_{v}_refined.txt"),
+                       centers, fmt="%.4f")
 
         # per-frame MANO params (ref layout read_modelPara,
         # render_loader.py:1324-1332) for the self-training loader

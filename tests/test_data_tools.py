@@ -155,3 +155,28 @@ def test_input_pipeline_bench_runs(tmp_path):
     ds = NYUDataset(os.path.join(root, "nyu"), "train", img_size=64)
     fps = bench_dataset(ds, batch_size=4, n_batches=4)
     assert fps > 0
+
+
+def test_prefetch_propagates_worker_errors():
+    """A crash inside the prefetch thread must raise in the consumer —
+    not leave it blocked forever on the queue (observed: a missing image
+    file mid-eval killed the worker silently and hung the run)."""
+    from dsf_tpu.data.datasets import BaseDataset
+
+    class Exploding(BaseDataset):
+        NUM_WORKERS = 1
+
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i >= 4:
+                raise FileNotFoundError(f"missing frame {i}")
+            return {"x": np.zeros(3, np.float32)}
+
+    ds = Exploding()
+    it = ds.prefetch_batches(2)
+    next(it)  # first batch is fine
+    with pytest.raises(FileNotFoundError):
+        for _ in range(4):
+            next(it)
