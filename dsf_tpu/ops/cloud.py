@@ -64,6 +64,12 @@ def img_to_pcl(key, img, center, M, cube, paras, img_size,
     ceil-(N/n) times via modular indexing of a random permutation — same
     support and near-identical multiplicity, fixed shape under jit.
     Empty images yield zeros (as the reference does).
+
+    ``key=None`` selects deterministically: each pixel gets a fixed
+    batch-independent pseudo-random score (a Weyl sequence over the
+    pixel index), so the same validity row always yields the same point
+    multiset regardless of batch size or call site.  Used by parity
+    tests and reproducible eval.
     """
     B = img.shape[0]
     img_rs = resize_nearest(img, (feature_size, feature_size))
@@ -71,7 +77,13 @@ def img_to_pcl(key, img, center, M, cube, paras, img_size,
     valid = (img_rs <= 0.99).reshape(B, -1)
     xyz = geo.uvd_nl_to_xyz_nl(uvd, center, M, cube, paras, img_size, flip)
 
-    score = jax.random.uniform(key, valid.shape)
+    if key is None:
+        p = valid.shape[-1]
+        score = jnp.broadcast_to(
+            ((jnp.arange(p, dtype=jnp.uint32) * jnp.uint32(2654435761))
+             >> 8).astype(jnp.float32) / jnp.float32(1 << 24), valid.shape)
+    else:
+        score = jax.random.uniform(key, valid.shape)
     score = jnp.where(valid, score, -1.0)
     # top_k == the first sample_num rows of argsort(-score) (same
     # descending order, random scores so no ties) at a fraction of the

@@ -39,6 +39,10 @@ def install_stubs():
         if not hasattr(np, name):
             setattr(np, name, val)
 
+    if "prefetch_generator" not in sys.modules:
+        pg = _mk_module("prefetch_generator")
+        pg.BackgroundGenerator = _StubClass
+
     if "torchvision" not in sys.modules:
         tv = _mk_module("torchvision")
         ops = _mk_module("torchvision.ops")
@@ -61,6 +65,7 @@ def install_stubs():
         structures.Meshes = meshes.Meshes
         loss = _mk_module("pytorch3d.loss")
         loss.chamfer_distance = _StubClass()
+        loss.point_mesh_distance = _mk_module("pytorch3d.loss.point_mesh_distance")
         p3d_ops = _mk_module("pytorch3d.ops")
         p3d_ops.sample_points_from_meshes = _StubClass()
         _c = _mk_module("pytorch3d._C")
