@@ -453,7 +453,9 @@ def finetune_stage_loss(apply_fn, variables, key, model_para, cube,
             loss += smooth_l1(mesh_r2[sl], mano_mesh_t) * cfg.coord_weight
         else:
             # stage-2 P2M against the (detached) teacher pixels (ref :766)
-            loss += smooth_l1(mano_juvd_r, juvd_t) * cfg.coord_weight
+            p2m = smooth_l1(mano_juvd_r, juvd_t) * cfg.coord_weight
+            loss += p2m
+            metrics["P2M"] = p2m
 
         coll = coll_r2[sl].mean()
         loss += coll * cfg.coll_weight

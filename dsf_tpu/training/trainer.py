@@ -48,12 +48,38 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def make_optimizer(cfg: Config, steps_per_epoch: int):
-    """AdamW(wd=0.01) + StepLR(step_size epochs, gamma=0.1)
-    (ref: train_render.py:102-109, 148-149)."""
+def lr_schedule(cfg: Config, steps_per_epoch: int):
+    """The reference's three scheduler modes (train_render.py:148-153):
+
+    * ``step``       — StepLR(step_size epochs, gamma=0.1), stepped per
+                       epoch (ref :311)
+    * ``multi_step`` — MultiStepLR(milestones, 0.1), stepped per epoch
+                       (ref :313); ``cfg.step_size`` may be an int (one
+                       milestone) or a sequence of milestone epochs
+    * ``auto``       — ReduceLROnPlateau is CONSTRUCTED but never
+                       stepped in the reference (no 'auto' branch at
+                       :310-313), so faithfully: constant lr
+    """
+    milestones = cfg.step_size
+    if not isinstance(milestones, (tuple, list)):
+        milestones = (milestones,)
+    milestones = jnp.asarray(milestones)
+
     def schedule(step):
         epoch = step // max(steps_per_epoch, 1)
+        if cfg.scheduler == "multi_step":
+            return cfg.lr * (0.1 ** jnp.sum(epoch >= milestones))
+        if cfg.scheduler == "auto":
+            return cfg.lr
         return cfg.lr * (0.1 ** (epoch // cfg.step_size))
+
+    return schedule
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int):
+    """AdamW(wd=0.01) + the configured LR scheduler
+    (ref: train_render.py:102-109, 148-153)."""
+    schedule = lr_schedule(cfg, steps_per_epoch)
 
     if cfg.opt == "adamw":
         tx = optax.adamw(schedule, weight_decay=0.01)

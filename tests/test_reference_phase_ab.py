@@ -45,7 +45,7 @@ import dsf_tpu.geometry as geo
 from dsf_tpu.ops import cloud
 from dsf_tpu.ops import rasterize as Rz
 from dsf_tpu.training import phases
-from dsf_tpu.models.backbone import ManoOCR
+from dsf_tpu.models.backbone import ManoOCR, ManoOCRStage
 from dsf_tpu.models.torch_import import convert_mano_ocr_stage
 from dsf_tpu.config import Config
 
@@ -394,6 +394,192 @@ def test_pretrain_phase_matches_reference(monkeypatch, ref_train,
                                ref_vals["MANO-Error_0"], rtol=5e-3)
     np.testing.assert_allclose(float(metrics["scale_loss_0"]),
                                ref_vals["scale-loss0"], rtol=5e-3, atol=1e-7)
+
+
+def _make_stage_net():
+    """Reference 2-stage MANO_OCR_stage (refine=True) + converted
+    variables + an apply_fn over our ManoOCRStage."""
+    torch.manual_seed(9)
+    tnet = __import__("sys").modules["ref_train_render"].MANO_OCR_stage(
+        "ResNet_stage_18", 21, True)
+    tnet.eval()
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    variables = convert_mano_ocr_stage(sd, refine=True)
+    net = ManoOCRStage(joint_num=21, depth=18, refine=True)
+
+    def apply_fn(variables, img, rend, center, cube, train, mutable=None):
+        return net.apply(variables, img, rend, center, cube, train=train)
+
+    return tnet, variables, apply_fn
+
+
+def test_finetune_stage_phase_matches_reference(monkeypatch, ref_train,
+                                                our_renderer, ref_mano_smpl):
+    """The production default: the reference's ACTUAL 2-stage
+    ``Trainer.FinetuneStage`` body (train_render.py:622-823) — whose net
+    forward itself renders the stage-1 MANO prediction through the
+    bridged renderer (backbone.py:304) — vs ``phases.finetune_stage_loss``
+    (stacked 2B forward + stage-stacked loss tensors), term by term."""
+    _, ref_smpl = ref_mano_smpl
+    tnet, variables, apply_fn = _make_stage_net()
+    k_synth = jax.random.PRNGKey(8)
+    shim = _make_shim(ref_train, our_renderer, ref_smpl, tnet, k_synth)
+    shim.config.stage_num = 2
+    # FinetuneStage applies the transfer net unconditionally (ref :639)
+    shim.transferNet = lambda x: x
+    r = our_renderer
+
+    rng = np.random.RandomState(31)
+    para = _model_para(rng)
+    cube = np.full((B, 3), 250.0, np.float32)
+    shape_aug, center_aug, size_aug, view_aug = _aug_draws(rng)
+
+    para_r = _model_para(rng)
+    center_r = rng.uniform([-50, -50, 650], [50, 50, 900],
+                           (B, 3)).astype(np.float32)
+    cube_r = np.full((B, 3), 250.0, np.float32)
+    M_r = np.asarray(geo.crop_matrix(
+        geo.xyz_to_uvd(jnp.asarray(center_r), NYU), jnp.asarray(cube_r),
+        NYU, (128, 128)))
+    img_r = np.asarray(rnd.render_params(
+        r, jnp.asarray(para_r), jnp.asarray(center_r),
+        jnp.asarray(cube_r))[0]).astype(np.float32)
+    xyz_gt_r = rng.uniform(-1, 1, (B, 14, 3)).astype(np.float32)
+
+    captured = {}
+    _capture_backward(monkeypatch, captured)
+    _patch_torch_draws(monkeypatch, shape_aug, center_aug, size_aug, view_aug)
+    out = ref_train.Trainer.FinetuneStage(
+        shim, torch.tensor(para), torch.tensor(cube), torch.tensor(img_r),
+        torch.tensor(center_r), torch.tensor(cube_r), torch.tensor(M_r),
+        torch.tensor(xyz_gt_r))
+    ref_vals = dict(zip(out[4], [float(s) for s in out[3]]))
+    ref_loss = captured["loss"]
+
+    _patch_our_aug(monkeypatch, shape_aug, center_aug, size_aug, view_aug,
+                   k_synth)
+    _deterministic_sampler(monkeypatch)
+    cfg = Config(dataset="nyu", mask=False, stage_num=2, phase="train")
+    loss, (_, metrics) = phases.finetune_stage_loss(
+        apply_fn, variables, jax.random.PRNGKey(0), jnp.asarray(para),
+        jnp.asarray(cube), jnp.asarray(img_r), jnp.asarray(center_r),
+        jnp.asarray(cube_r), jnp.asarray(M_r), jnp.asarray(xyz_gt_r),
+        r=r, transfer_fn=None, cfg=cfg, transfer_map=MANO2NYU,
+        train=False)
+
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=5e-3)
+    pairs = [("pixel_error_0", "PixelError0", 5e-3, 0.0),
+             ("pixel_error_1", "PixelError1", 5e-3, 0.0),
+             ("mano_error_0", "MANOError0", 5e-3, 0.0),
+             ("mano_error_1", "MANOError1", 5e-3, 0.0),
+             ("P2M", "P2M", 5e-3, 1e-6),
+             ("m2d_1", "m2d", 5e-3, 1e-6),
+             ("d2m_1", "d2m", 1e-2, 1e-6),
+             ("pd2m_1", "pd2m", 1e-2, 1e-6),
+             ("M2P", "M2P", 1e-2, 1e-6),
+             # coll is a 0.1-gated hinge sum over ~2k sphere pairs: the
+             # ~2e-4 torch-vs-jax net-output drift flips near-threshold
+             # pairs, moving the small total by a few percent (identical-
+             # input parity is tested tightly in
+             # test_reference_parity_losses::test_calculate_coll)
+             ("coll_1", "coll", 5e-2, 1e-3)]
+    for ours_k, ref_k, rtol, atol in pairs:
+        np.testing.assert_allclose(
+            float(metrics[ours_k]), ref_vals[ref_k], rtol=rtol, atol=atol,
+            err_msg=f"loss term {ref_k}")
+
+
+def test_eval_path_matches_reference(tmp_path, assets, ref_train,
+                                     our_renderer, ref_mano_smpl):
+    """tier 3: the eval protocol.  The reference's ACTUAL ``test_iter``
+    body (train_render.py:355-400, incl. its result/mesh/MANO txt
+    exports) runs over the same on-disk fake-NYU batches as the
+    production eval path (``Trainer.eval_step_fn`` + ``loop._test_view``
+    with drop_last=False pad-and-mask) — per-stage per-branch mm errors
+    and the exported txt files must match, including the padded tail
+    batch (6 frames at batch 4)."""
+    from dsf_tpu.data.fake import make_fake_nyu
+    from dsf_tpu.data import datasets as D
+    from dsf_tpu.parallel import mesh as pmesh
+    from dsf_tpu.training.trainer import Trainer as OurTrainer
+    from dsf_tpu.training import loop as L
+
+    _, ref_smpl = ref_mano_smpl
+    tnet, variables, _ = _make_stage_net()
+
+    root = make_fake_nyu(str(tmp_path / "data"), assets[1], n_train=2,
+                         n_test=6)
+    cfg = Config(dataset="nyu", stage_num=2, phase="test", batch_size=4,
+                 root_dir=root, mano_model_path=assets[1],
+                 save_result=True, save_mesh=True, save_obj=False)
+    # 1-device mesh: batch 4 is not divisible by the conftest's 8-CPU mesh
+    tr = OurTrainer(cfg, assets[1], steps_per_epoch=1,
+                    mesh=pmesh.make_mesh(1))
+    state = tr.init_state()
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir, exist_ok=True)
+    ours_errs = np.asarray(L._test_view(tr, state, cfg, 0, run_dir))
+
+    # ---- reference side: the same batches through the real test_iter
+    shim = _make_shim(ref_train, our_renderer, ref_smpl, tnet,
+                      jax.random.PRNGKey(0))
+    shim.config.stage_num = 2
+    shim.config.save_result = True
+    shim.config.save_mesh = True
+    shim.config.save_obj = False
+    shim.testData = shim.trainData
+    shim.result_file_list = [
+        open(tmp_path / f"ref_result_{i}_0.txt", "w") for i in range(4)]
+    shim.mano_file = open(tmp_path / "ref_mano.txt", "w")
+    shim.mesh_file = open(tmp_path / "ref_mesh.txt", "w")
+    shim.coll_file = open(tmp_path / "ref_coll.txt", "w")
+
+    ds = D.NYUDataset(os.path.join(root, "nyu"), "test", view=0,
+                      img_size=cfg.input_size, cube_size=cfg.cube_size,
+                      center_type=cfg.center_type)
+    totals, n = np.zeros(4), 0
+    with torch.no_grad():
+        for ii, b in enumerate(ds.prefetch_batches(cfg.batch_size,
+                                                   shuffle=False,
+                                                   drop_last=False)):
+            err = ref_train.Trainer.test_iter(
+                shim, _t(b["img"]), _t(b["xyz_gt"]), _t(b["center"]),
+                _t(b["cube"]), _t(b["M"]), ii, 0)
+            valid = len(b["img"])
+            totals += np.asarray([float(e) for e in err]) * valid
+            n += valid
+    for fh in shim.result_file_list + [shim.mano_file, shim.mesh_file,
+                                       shim.coll_file]:
+        fh.close()
+    ref_errs = totals / n
+
+    np.testing.assert_allclose(ours_errs, ref_errs, rtol=5e-3,
+                               err_msg="per-stage per-branch mm errors")
+
+    # ---- exported files: all 6 frames present, rows match (both %.3f)
+    for ours_name, ref_name in [("result_0_0.txt", "ref_result_0_0.txt"),
+                                ("result_1_0.txt", "ref_result_1_0.txt"),
+                                ("mesh_result_3_0.txt", "ref_mesh.txt"),
+                                ("MANO_result_3_0.txt", "ref_mano.txt")]:
+        ours = np.loadtxt(os.path.join(run_dir, ours_name))
+        ref = np.loadtxt(tmp_path / ref_name)
+        assert ours.shape == ref.shape and ours.shape[0] == 6, \
+            f"{ours_name}: {ours.shape} vs {ref.shape}"
+        # both sides print %.3f; the underlying values differ by the
+        # torch-vs-jax net tolerance (~2e-4 normalized, amplified to
+        # ~0.1 mm through LBS + cube scaling) — hold every row to well
+        # under BASELINE.md's 0.2 mm parity gate
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=0.15,
+                                   err_msg=ours_name)
+    # result files 2,3 exist but are empty on both sides (the reference
+    # writes only indices 0/1 — the save block sits outside the stage
+    # loop, train_render.py:394-398)
+    for i in (2, 3):
+        assert os.path.getsize(os.path.join(run_dir,
+                                            f"result_{i}_0.txt")) == 0
+        assert os.path.getsize(tmp_path / f"ref_result_{i}_0.txt") == 0
 
 
 def test_finetune_phase_matches_reference(monkeypatch, ref_train,

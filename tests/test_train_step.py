@@ -88,3 +88,32 @@ def test_batch_is_sharded_across_devices(trainer):
     batch = {"x": jnp.zeros((8, 4))}
     sharded = pmesh.shard_batch(trainer.mesh, batch)
     assert len(sharded["x"].sharding.device_set) == 8
+
+
+def test_lr_schedule_modes():
+    """The reference's three scheduler modes (train_render.py:148-153,
+    310-313): StepLR decays every step_size epochs; MultiStepLR decays
+    at each milestone; 'auto' (ReduceLROnPlateau) is constructed but
+    never stepped in the reference -> constant lr."""
+    import dataclasses
+    from dsf_tpu.config import Config
+    from dsf_tpu.training.trainer import lr_schedule
+
+    spe = 100
+    cfg = Config(dataset="nyu")                      # step_size = 10
+    sch = lr_schedule(cfg, spe)
+    assert float(sch(0)) == cfg.lr
+    assert float(sch(9 * spe)) == cfg.lr
+    np.testing.assert_allclose(float(sch(10 * spe)), cfg.lr * 0.1)
+    np.testing.assert_allclose(float(sch(20 * spe)), cfg.lr * 0.01)
+
+    cfg = Config(dataset="nyu", scheduler="multi_step")
+    sch = lr_schedule(cfg, spe)                      # milestone at 10
+    np.testing.assert_allclose(float(sch(5 * spe)), cfg.lr, rtol=1e-6)
+    np.testing.assert_allclose(float(sch(10 * spe)), cfg.lr * 0.1)
+    np.testing.assert_allclose(float(sch(25 * spe)), cfg.lr * 0.1)
+
+    cfg = Config(dataset="nyu", scheduler="auto")
+    sch = lr_schedule(cfg, spe)
+    np.testing.assert_allclose(float(sch(0)), cfg.lr, rtol=1e-6)
+    np.testing.assert_allclose(float(sch(50 * spe)), cfg.lr, rtol=1e-6)
