@@ -454,3 +454,41 @@ def test_synth_factory_labels_match_reference(ref_render, our_mano):
     np.testing.assert_allclose(np.asarray(o_vuvd), r_vuvd.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(o_jxyz), r_jxyz.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(o_vxyz), r_vxyz.numpy(), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# xyz2error: per-dataset mm-error semantics (ref train_render.py:826-864)
+# ---------------------------------------------------------------------------
+
+def test_xyz2error_matches_reference_all_datasets():
+    """The reference Trainer.xyz2error vs phases.xyz2error_mm for every
+    dataset branch and reduction flag: ICVL subtracts its (1,16) z bias
+    from the prediction BEFORE the error; MSRA's scalar mean skips the
+    wrist joint; keep_joint/keep_batch skip the dataset-specific scalar
+    reductions (except the ICVL bias, which always applies)."""
+    import types
+    import torch
+    from dsf_tpu.training import phases
+
+    ref_train = load_reference_module("train_render.py", "ref_train_render")
+    rng = np.random.RandomState(3)
+
+    for dataset, J in (("nyu", 14), ("icvl", 16), ("msra", 21)):
+        shim = types.SimpleNamespace(
+            config=types.SimpleNamespace(dataset=dataset), phase="train")
+        xyz2error = types.MethodType(ref_train.Trainer.xyz2error, shim)
+        B = 5
+        pd = rng.uniform(-1, 1, (B, J, 3)).astype(np.float32)
+        gt = rng.uniform(-1, 1, (B, J, 3)).astype(np.float32)
+        center = rng.uniform([-50, -50, 650], [50, 50, 900],
+                             (B, 3)).astype(np.float32)
+        cube = np.full((B, 3), 250.0, np.float32)
+        for kw in ({}, {"keep_batch": True}, {"keep_joint": True}):
+            ref = xyz2error(torch.tensor(pd), torch.tensor(gt),
+                            torch.tensor(center), torch.tensor(cube), **kw)
+            ours = phases.xyz2error_mm(
+                jnp.asarray(pd), jnp.asarray(gt), jnp.asarray(center),
+                jnp.asarray(cube), dataset=dataset, **kw)
+            np.testing.assert_allclose(
+                np.asarray(ours), np.asarray(ref), rtol=1e-5, atol=1e-4,
+                err_msg=f"{dataset} {kw}")
