@@ -73,3 +73,28 @@ def test_cyclegan_conversion_matches_torch():
     got = np.asarray(net.apply(variables, jnp.asarray(x)))
     assert got.shape == expected.shape
     np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_cyclegan_matches_live_reference_define_G():
+    """The reference's ACTUAL transfer net — define_G(1, 1, 64,
+    'resnet_9blocks', 'instance', False, 'xavier'), the exact production
+    construction of train_render.py:95 — converted and compared output-
+    to-output at the training resolution."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from reference_import import load_reference_module
+
+    tr = load_reference_module("render_model/transfer.py", "ref_transfer")
+    torch.manual_seed(1)
+    g = tr.define_G(1, 1, 64, "resnet_9blocks", "instance", False, "xavier")
+    g.eval()
+    x = np.random.RandomState(1).randn(1, 1, 128, 128).astype(np.float32)
+    with torch.no_grad():
+        expected = g(torch.from_numpy(x)).numpy()
+
+    variables = TI.convert_cyclegan_generator(dict(g.state_dict()),
+                                              n_blocks=9)
+    net = ResnetGenerator(input_nc=1, output_nc=1, ngf=64, n_blocks=9)
+    got = np.asarray(net.apply(variables, jnp.asarray(x)))
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
