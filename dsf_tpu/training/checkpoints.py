@@ -48,6 +48,15 @@ def save(path: str, trainer, state, epoch: int):
     cp.save(os.path.abspath(path), ckpt, force=True)
 
 
+def restore_variables(path: str):
+    """Weights-only load without a Trainer/state — the serving path
+    (dsf_tpu.serving).  Returns ``{"params", "batch_stats"}``."""
+    wait_until_finished()
+    cp = _checkpointer()
+    ckpt = cp.restore(os.path.abspath(path))
+    return {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+
+
 def restore(path: str, trainer, state, weights_only: bool = False):
     """Restore into an existing state.  With weights_only (the reference's
     finetune_dir warm start, train_render.py:138-145) only params +
