@@ -36,6 +36,21 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 import numpy as np
 
 
+def load_exported(path: str):
+    """Load an artifact written by :meth:`InferenceEngine.export`.
+    Returns ``f(img, center, M, cube) -> dict`` at the exported bucket
+    size (fixed shapes — the XLA deployment contract)."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+
+    def call(img, center, M, cube):
+        return exported.call(img, center, M, cube)
+
+    return call
+
+
 def _load_config(run_dir: str):
     """Rebuild a Config from the run dir's config.json (values are
     stringified by loop.run; parse them back by field type)."""
@@ -263,6 +278,33 @@ class InferenceEngine:
                                  self.renderer.flip).astype(np.float32)
 
     # --------------------------------------------------------------- ops
+
+    def export(self, path: str, bucket: Optional[int] = None) -> str:
+        """Serialize one bucket's predict program (weights baked in) to
+        a self-contained artifact via ``jax.export`` — deployable
+        without the model code or checkpoint, loadable with
+        :func:`load_exported`.  Returns the written path."""
+        import jax
+        import jax.numpy as jnp
+        from jax import export as jexport
+
+        b = bucket or self.buckets[-1]
+        prog = self._program(b)
+        var = self.variables
+
+        def fn(img, center, M, cube):
+            return prog(var, img, center, M, cube)
+
+        S = self.cfg.input_size
+        f32 = jnp.float32
+        exported = jexport.export(jax.jit(fn))(
+            jax.ShapeDtypeStruct((b, 1, S, S), f32),
+            jax.ShapeDtypeStruct((b, 3), f32),
+            jax.ShapeDtypeStruct((b, 3, 3), f32),
+            jax.ShapeDtypeStruct((b, 3), f32))
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+        return path
 
     def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
         """Compile all (or the given) buckets before taking traffic."""

@@ -136,3 +136,24 @@ def test_from_run_dir_serves_production_checkpoints(engine, tmp_path):
     b = eng2.predict(img, center, M, cube)
     np.testing.assert_allclose(a["joint_xyz_mm"], b["joint_xyz_mm"],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_export_artifact_roundtrip(engine, tmp_path):
+    """jax.export deployment artifact: weights baked in, loads and
+    predicts without the engine, matches live outputs exactly."""
+    from dsf_tpu.serving import load_exported
+
+    path = str(tmp_path / "predict_b2.bin")
+    engine.export(path, bucket=2)
+    assert os.path.getsize(path) > 1000
+
+    fn = load_exported(path)
+    img, center, M, cube = _inputs(2, seed=4)
+    live = engine.predict(img, center, M, cube)
+    art = fn(img, center, M, cube)
+    # reloading recompiles the StableHLO; fusion choices may differ by
+    # float rounding — tolerance is 0.2mm on ~700mm world coordinates
+    np.testing.assert_allclose(np.asarray(art["joint_xyz_mm"]),
+                               live["joint_xyz_mm"], rtol=2e-4, atol=0.2)
+    np.testing.assert_allclose(np.asarray(art["mano_mesh_mm_1"]),
+                               live["mano_mesh_mm_1"], rtol=2e-4, atol=0.2)
