@@ -109,9 +109,13 @@ def run(cfg: Config):
 
     run_dir = os.path.join(cfg.save_dir, cfg.dataset, cfg.run_name())
     os.makedirs(run_dir, exist_ok=True)
+    # force=True: basicConfig is a no-op once any handler exists (a
+    # previous run() in this process, or a host harness) — the run MUST
+    # get its train.log regardless
     logging.basicConfig(
         format="%(asctime)s %(message)s", datefmt="%Y/%m/%d %H:%M:%S",
-        filename=os.path.join(run_dir, "train.log"), level=logging.INFO)
+        filename=os.path.join(run_dir, "train.log"), level=logging.INFO,
+        force=True)
     # orbax/absl flood INFO per checkpoint write; keep train.log readable
     for noisy in ("absl", "orbax", "jax._src", "etils"):
         logging.getLogger(noisy).setLevel(logging.WARNING)
