@@ -68,6 +68,44 @@ class BaseDataset:
 
     # ------------------------------------------------------------ batching
 
+    def _eval_fast_batch(self, idx, depths, joints_xyz, centers, cubes):
+        """Unaugmented batch fast path shared by the dataset loaders:
+        crop+normalize runs in the threaded C++ library
+        (native/dsf_host.cpp:batch_crop_normalize, parity-tested in
+        tests/test_misc_parity.py) and the label math — the same
+        com/M/cube chain every __getitem__ computes — is vectorized
+        numpy.  Callers guarantee ``not augment`` and native
+        availability."""
+        from dsf_tpu.data import crop as C
+        from dsf_tpu.data import native
+
+        coms = C.joint_3d_to_img(centers, self.paras, self.flip)
+        imgs, Ms = native.batch_crop_normalize(
+            depths, coms.astype(np.float32), cubes.astype(np.float32),
+            np.asarray(self.paras, np.float32), self.img_size,
+            nthreads=self.NUM_WORKERS)
+        gt3Dcrop = joints_xyz[idx] - centers[:, None]
+        curLabel = gt3Dcrop / (cubes[:, None, 2:3] / 2.0)
+        com3D = C.joint_img_to_3d(coms, self.paras, self.flip)
+        world = curLabel * (cubes[:, None, 0:1] / 2.0) + com3D[:, None]
+        uvd = C.joint_3d_to_img(world, self.paras, self.flip)
+        ones = np.ones(uvd.shape[:-1] + (1,), uvd.dtype)
+        h = np.concatenate([uvd[..., :2], ones], axis=-1) @ \
+            Ms.transpose(0, 2, 1)
+        joint_img = uvd.copy()
+        joint_img[..., :2] = (h[..., :2] / h[..., 2:3]) \
+            / (self.img_size / 2) - 1
+        joint_img[..., 2] = (uvd[..., 2] - com3D[:, None, 2]) \
+            / (cubes[:, None, 0] / 2.0)
+        return {
+            "img": imgs[:, None].astype(np.float32),
+            "xyz_gt": curLabel.astype(np.float32),
+            "uvd_gt": joint_img.astype(np.float32),
+            "center": com3D.astype(np.float32),
+            "M": Ms.astype(np.float32),
+            "cube": cubes.astype(np.float32),
+        }
+
     def _fetch_batch(self, idx):
         """One stacked batch; item fetch fans out over the worker pool."""
         if len(idx) > 1 and self.NUM_WORKERS > 1:
@@ -197,36 +235,11 @@ class NYUDataset(BaseDataset):
         idx = np.asarray(idx)
         depths = np.stack(list(self._worker_pool().map(self._read_depth,
                                                        idx)))
-        centers = self.center_xyz[idx]
-        coms = C.joint_3d_to_img(centers, self.paras, self.flip)
         cubes = (self.test_cubesize[idx] if self.phase == "test"
                  else np.tile(self.cube_size, (len(idx), 1))).astype(
                      np.float32)
-        imgs, Ms = native.batch_crop_normalize(
-            depths, coms.astype(np.float32), cubes,
-            np.asarray(self.paras, np.float32), self.img_size,
-            nthreads=self.NUM_WORKERS)
-        gt3Dcrop = self.all_joints_xyz[idx] - centers[:, None]
-        curLabel = gt3Dcrop / (cubes[:, None, 2:3] / 2.0)
-        com3D = C.joint_img_to_3d(coms, self.paras, self.flip)
-        world = curLabel * (cubes[:, None, 0:1] / 2.0) + com3D[:, None]
-        uvd = C.joint_3d_to_img(world, self.paras, self.flip)
-        ones = np.ones(uvd.shape[:-1] + (1,), uvd.dtype)
-        h = np.concatenate([uvd[..., :2], ones], axis=-1) @ \
-            Ms.transpose(0, 2, 1)
-        joint_img = uvd.copy()
-        joint_img[..., :2] = (h[..., :2] / h[..., 2:3]) \
-            / (self.img_size / 2) - 1
-        joint_img[..., 2] = (uvd[..., 2] - com3D[:, None, 2]) \
-            / (cubes[:, None, 0] / 2.0)
-        return {
-            "img": imgs[:, None].astype(np.float32),
-            "xyz_gt": curLabel.astype(np.float32),
-            "uvd_gt": joint_img.astype(np.float32),
-            "center": com3D.astype(np.float32),
-            "M": Ms.astype(np.float32),
-            "cube": cubes.astype(np.float32),
-        }
+        return self._eval_fast_batch(idx, depths, self.all_joints_xyz,
+                                     self.center_xyz[idx], cubes)
 
     def __getitem__(self, index):
         depth = self._read_depth(index)
@@ -391,10 +404,26 @@ class ICVLDataset(BaseDataset):
     def __len__(self):
         return len(self.img_names)
 
+    def _read_depth(self, index):
+        depth = readers.icvl_reader(self.img_names[index])
+        return depth[:, ::-1].copy()                # LR flip (ref :2331-2341)
+
+    def _fetch_batch(self, idx):
+        """Eval-batch fast path (same contract as NYUDataset's): decode
+        fans out over the worker pool, crop+normalize+labels run in the
+        shared vectorized/native path."""
+        from dsf_tpu.data import native
+        if self.phase == "train" or not native.available():
+            return super()._fetch_batch(idx)
+        idx = np.asarray(idx)
+        depths = np.stack(list(self._worker_pool().map(self._read_depth,
+                                                       idx)))
+        cubes = np.tile(self.cube_size.astype(np.float32), (len(idx), 1))
+        return self._eval_fast_batch(idx, depths, self.all_joints_xyz,
+                                     self.center_xyz[idx], cubes)
+
     def __getitem__(self, index):
-        img_path = self.img_names[index]
-        depth = readers.icvl_reader(img_path)
-        depth = depth[:, ::-1].copy()               # LR flip (ref :2331-2341)
+        depth = self._read_depth(index)
 
         joint_xyz = self.all_joints_xyz[index].copy()
         cube_size = self.cube_size.astype(np.float64)
@@ -517,6 +546,23 @@ class MSRADataset(BaseDataset):
 
     def __len__(self):
         return len(self.files)
+
+    def _read_depth(self, index):
+        return readers.msra_reader(self.files[index], self.paras)[0]
+
+    def _fetch_batch(self, idx):
+        """Eval-batch fast path (same contract as NYUDataset's), with
+        the per-person cube table applied per frame."""
+        from dsf_tpu.data import native
+        if self.phase == "train" or not native.available():
+            return super()._fetch_batch(idx)
+        idx = np.asarray(idx)
+        depths = np.stack(list(self._worker_pool().map(self._read_depth,
+                                                       idx)))
+        cubes = np.repeat(
+            np.asarray(self.cubes, np.float32)[idx][:, None], 3, axis=1)
+        return self._eval_fast_batch(idx, depths, self.joints_xyz,
+                                     self.center_xyz[idx], cubes)
 
     def __getitem__(self, index):
         depth, _ = readers.msra_reader(self.files[index], self.paras)
