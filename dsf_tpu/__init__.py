@@ -17,6 +17,7 @@ Layer map (mirrors reference SURVEY.md §1):
   data          — dataset readers + host pipeline  (ref: data/render_loader.py)
   training      — phases (Pretrain/Finetune/FinetuneStage), trainer, eval
   parallel      — mesh/sharding helpers
+  serving       — production inference engine + jax.export artifacts
   tools         — offline eval (collision volume, CCSSL TTA, skeleton export)
 """
 

@@ -15,8 +15,57 @@ import jax.numpy as jnp
 import optax
 
 from dsf_tpu.losses.basic import smooth_l1, masked_depth_loss
+from dsf_tpu.mano import model as mano_model
 from dsf_tpu.mano import spheres as sph
 from dsf_tpu.render import renderer as rnd
+
+
+def fit_params_world(mano: mano_model.ManoModel, pcl_xyz, joints_xyz,
+                     quat, theta, cam, beta=None,
+                     steps: int = 1000, lr: float = 0.01):
+    """The reference `opt_depth` objective, exactly
+    (render_loader.py:3594-3653): Adam over (quat, theta, beta, cam)
+    minimizing torch-default SmoothL1(joints, labels) + mean(beta²) +
+    mean(theta²) + mean(min over verts of squared pcl→vertex distance),
+    all in world mm.  beta starts at zeros like the reference (:3614).
+
+    pcl_xyz: (B, P, 3) mm; joints_xyz: (B, 21, 3) mm.
+    Returns (params dict, loss history list).
+    """
+    params = {
+        "quat": jnp.asarray(quat, jnp.float32),
+        "theta": jnp.asarray(theta, jnp.float32),
+        "beta": (jnp.zeros((quat.shape[0], 10), jnp.float32)
+                 if beta is None else jnp.asarray(beta, jnp.float32)),
+        "cam": jnp.asarray(cam, jnp.float32),
+    }
+    pcl_xyz = jnp.asarray(pcl_xyz, jnp.float32)
+    joints_xyz = jnp.asarray(joints_xyz, jnp.float32)
+    tx = optax.adam(lr)                    # torch Adam defaults == optax's
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        verts, joints = mano_model.get_mano_vertices(
+            mano, p["quat"], p["theta"], p["beta"], p["cam"])
+        z = joints - joints_xyz
+        az = jnp.abs(z)
+        sl1 = jnp.where(az < 1.0, 0.5 * z * z, az - 0.5).mean()
+        d2 = jnp.sum((pcl_xyz[:, :, None] - verts[:, None]) ** 2,
+                     axis=-1).min(-1)      # (B, P) squared, like the ref
+        return (sl1 + (p["beta"] ** 2).mean() + (p["theta"] ** 2).mean()
+                + d2.mean())
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    history = []
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state)
+        history.append(float(loss))
+    return params, history
 
 
 def fit_params(r: rnd.Renderer, target_img, center, cube,
