@@ -517,6 +517,7 @@ class MSRADataset(BaseDataset):
                     self.joints_xyz.append(data[i])
         self.joints_xyz = (np.stack(self.joints_xyz).astype(np.float32)
                            if self.joints_xyz else np.zeros((0, 21, 3), np.float32))
+        self.cubes = np.asarray(self.cubes, np.float32)
         if write_record:
             # ref writes ./msra_record_list.txt + ./msra_label.txt at init
             # (render_loader.py:2467,2492-2495); opt-in, into root_dir
@@ -559,8 +560,7 @@ class MSRADataset(BaseDataset):
         idx = np.asarray(idx)
         depths = np.stack(list(self._worker_pool().map(self._read_depth,
                                                        idx)))
-        cubes = np.repeat(
-            np.asarray(self.cubes, np.float32)[idx][:, None], 3, axis=1)
+        cubes = np.repeat(self.cubes[idx][:, None], 3, axis=1)
         return self._eval_fast_batch(idx, depths, self.joints_xyz,
                                      self.center_xyz[idx], cubes)
 

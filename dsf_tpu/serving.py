@@ -109,11 +109,13 @@ class InferenceEngine:
             (cfg.input_size, cfg.input_size))
         self.transfer_map = np.asarray(transfer_for_dataset(cfg.dataset))
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        if "ResNet" not in cfg.net:          # same guard as the Trainer
+            raise NotImplementedError(cfg.net)
         depth = int(cfg.net.split("_")[-1])
         self.net = ManoOCRStage(joint_num=21, depth=depth,
                                 refine=cfg.stage_num == 2, dtype=dtype)
         self.variables = variables
-        self._programs: Dict[int, Any] = {}
+        self._prog = None                    # jit specializes per shape
 
     # ------------------------------------------------------- constructors
 
@@ -122,13 +124,18 @@ class InferenceEngine:
                      mano_npz: Optional[str] = None,
                      buckets: Sequence[int] = (1, 8, 32)):
         """Load a natively-trained run (orbax).  ``which`` picks the
-        ``best`` (val-selected) or ``latest`` checkpoint; a run dir that
+        ``best`` (val-selected, only written when test_during_train) or
+        ``latest`` checkpoint, falling back best→latest; a run dir that
         is itself a checkpoint dir also works."""
         from dsf_tpu.training import checkpoints as ckpt
 
         cfg = _load_config(run_dir)
-        path = os.path.join(run_dir, which)
-        if not os.path.isdir(path):
+        candidates = [os.path.join(run_dir, which),
+                      os.path.join(run_dir, "latest"), run_dir]
+        for path in candidates:
+            if os.path.isdir(path) and path != run_dir:
+                break
+        else:
             path = run_dir
         variables = ckpt.restore_variables(path)
         return cls(cfg, variables, mano_npz=mano_npz, buckets=buckets)
@@ -150,9 +157,12 @@ class InferenceEngine:
 
     # ------------------------------------------------------------ predict
 
-    def _program(self, bucket: int):
-        if bucket in self._programs:
-            return self._programs[bucket]
+    def _program(self, bucket: int = 0):
+        """The jitted predict program (jax.jit specializes per batch
+        shape, so ONE wrapper serves every bucket; ``bucket`` is kept
+        for call-site readability only)."""
+        if self._prog is not None:
+            return self._prog
         import jax
         import jax.numpy as jnp
         from dsf_tpu import geometry as geo
@@ -186,9 +196,8 @@ class InferenceEngine:
             out["mano_joint_xyz_mm"] = out[f"mano_joint_xyz_mm_{last}"][:, tm]
             return out
 
-        prog = jax.jit(predict)
-        self._programs[bucket] = prog
-        return prog
+        self._prog = jax.jit(predict)
+        return self._prog
 
     def _bucket(self, n: int) -> int:
         for b in self.buckets:

@@ -50,17 +50,37 @@ def save(path: str, trainer, state, epoch: int):
 
 def restore_variables(path: str):
     """Weights-only load without a Trainer/state — the serving path
-    (dsf_tpu.serving).  Returns ``{"params", "batch_stats"}``."""
+    (dsf_tpu.serving).  Reads ONLY params + batch_stats (the opt_state,
+    ~2x the param bytes, is never touched); the tree structure comes
+    from the checkpoint's own metadata.  Returns
+    ``{"params", "batch_stats"}``."""
+    import orbax.checkpoint as ocp
+
+    path = _resolve(path)
     wait_until_finished()
     cp = _checkpointer()
-    ckpt = cp.restore(os.path.abspath(path))
-    return {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+    md = cp.metadata(os.path.abspath(path)).item_metadata.tree
+    sub = {k: md[k] for k in ("params", "batch_stats")}
+    restore_args = jax.tree_util.tree_map(lambda m: ocp.RestoreArgs(), sub)
+    return cp.restore(os.path.abspath(path), item=sub, transforms={},
+                      restore_args=restore_args)
+
+
+def _resolve(path: str) -> str:
+    """Accept either a checkpoint dir or a run dir: a run dir (no
+    checkpoint metadata of its own) resolves to its ``latest``
+    checkpoint — so ``--load_model <run dir>`` just works."""
+    if (not os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+            and os.path.isdir(os.path.join(path, "latest"))):
+        return os.path.join(path, "latest")
+    return path
 
 
 def restore(path: str, trainer, state, weights_only: bool = False):
     """Restore into an existing state.  With weights_only (the reference's
     finetune_dir warm start, train_render.py:138-145) only params +
     batch_stats load and the optimizer restarts."""
+    path = _resolve(path)
     wait_until_finished()             # a save to `path` may be in flight
     cp = _checkpointer()
     ref = {

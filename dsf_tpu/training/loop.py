@@ -94,10 +94,6 @@ def _real_iter(ds, cfg, loop=True):
 
 
 def run(cfg: Config):
-    import jax
-    from dsf_tpu.training.trainer import Trainer
-    from dsf_tpu.training import checkpoints as ckpt
-
     # multi-host bring-up when a coordinator is configured (DCN across
     # hosts, ICI within a slice — SURVEY §2.4 plan); no-op single-host
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
@@ -109,16 +105,35 @@ def run(cfg: Config):
 
     run_dir = os.path.join(cfg.save_dir, cfg.dataset, cfg.run_name())
     os.makedirs(run_dir, exist_ok=True)
-    # force=True: basicConfig is a no-op once any handler exists (a
-    # previous run() in this process, or a host harness) — the run MUST
-    # get its train.log regardless
-    logging.basicConfig(
-        format="%(asctime)s %(message)s", datefmt="%Y/%m/%d %H:%M:%S",
-        filename=os.path.join(run_dir, "train.log"), level=logging.INFO,
-        force=True)
+    # per-run file handler (NOT basicConfig: it is a no-op once any
+    # handler exists, and force=True would close a host application's
+    # handlers — the run gets its train.log without hijacking global
+    # logging); detached when the run ends
+    root = logging.getLogger()
+    handler = logging.FileHandler(os.path.join(run_dir, "train.log"))
+    handler.setFormatter(logging.Formatter("%(asctime)s %(message)s",
+                                           "%Y/%m/%d %H:%M:%S"))
+    handler.setLevel(logging.INFO)
+    prev_level = root.level
+    if root.level > logging.INFO or root.level == logging.NOTSET:
+        root.setLevel(logging.INFO)
+    root.addHandler(handler)
     # orbax/absl flood INFO per checkpoint write; keep train.log readable
     for noisy in ("absl", "orbax", "jax._src", "etils"):
         logging.getLogger(noisy).setLevel(logging.WARNING)
+    try:
+        _run(cfg, run_dir)
+    finally:
+        root.removeHandler(handler)
+        handler.close()
+        root.setLevel(prev_level)
+
+
+def _run(cfg: Config, run_dir: str):
+    import jax
+    from dsf_tpu.training.trainer import Trainer
+    from dsf_tpu.training import checkpoints as ckpt
+
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         json.dump({k: str(v) for k, v in vars(cfg).items()}, f, indent=2)
 
