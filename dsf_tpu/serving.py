@@ -92,7 +92,7 @@ class InferenceEngine:
     """
 
     def __init__(self, cfg, variables, mano_npz: Optional[str] = None,
-                 buckets: Sequence[int] = (1, 8, 32)):
+                 buckets: Sequence[int] = (1, 8, 32), mesh=None):
         import jax.numpy as jnp
         from dsf_tpu.mano import model as mano_model
         from dsf_tpu.models.backbone import ManoOCRStage
@@ -115,6 +115,19 @@ class InferenceEngine:
         self.net = ManoOCRStage(joint_num=21, depth=depth,
                                 refine=cfg.stage_num == 2, dtype=dtype)
         self.variables = variables
+        # optional data-parallel serving: a 1-D device mesh shards each
+        # bucket's batch over chips (params replicated).  cfg.num_devices
+        # > 1 builds one; every bucket must then divide into it.
+        if mesh is None and cfg.num_devices > 1:
+            from dsf_tpu.parallel import mesh as pmesh
+            mesh = pmesh.make_mesh(cfg.num_devices)
+        self.mesh = mesh
+        if mesh is not None:
+            n = mesh.devices.size
+            bad = [b for b in self.buckets if b % n]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by mesh size {n}")
         self._prog = None                    # jit specializes per shape
 
     # ------------------------------------------------------- constructors
@@ -229,9 +242,16 @@ class InferenceEngine:
                 return np.concatenate(
                     [x[sl], np.repeat(x[sl][-1:], pads, axis=0)])
             prog = self._program(bucket)
-            res = prog(self.variables, jnp.asarray(pad(img)),
-                       jnp.asarray(pad(center)), jnp.asarray(pad(M)),
-                       jnp.asarray(pad(cube)))
+            args = (pad(img), pad(center), pad(M), pad(cube))
+            if self.mesh is not None:
+                from dsf_tpu.parallel import mesh as pmesh
+                if getattr(self, "_replicated", None) is None:
+                    self._replicated = pmesh.replicate(self.mesh,
+                                                       self.variables)
+                args = tuple(pmesh.shard_batch(self.mesh, a) for a in args)
+                res = prog(self._replicated, *args)
+            else:
+                res = prog(self.variables, *map(jnp.asarray, args))
             chunks.append({k: np.asarray(v)[:take] for k, v in res.items()})
             i += take
         return {k: np.concatenate([c[k] for c in chunks])

@@ -157,3 +157,35 @@ def test_export_artifact_roundtrip(engine, tmp_path):
                                live["joint_xyz_mm"], rtol=2e-4, atol=0.2)
     np.testing.assert_allclose(np.asarray(art["mano_mesh_mm_1"]),
                                live["mano_mesh_mm_1"], rtol=2e-4, atol=0.2)
+
+
+def test_multi_device_serving_matches_single(engine):
+    """DP serving over the virtual 8-device mesh: batch sharded, params
+    replicated — same numbers as the single-device engine."""
+    import jax
+    from dsf_tpu.serving import InferenceEngine
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs the 8-device CPU mesh")
+    cfg = engine.cfg.replace(num_devices=8)
+    eng8 = InferenceEngine(cfg, engine.variables, buckets=(8,))
+    assert eng8.mesh is not None
+    img, center, M, cube = _inputs(3, seed=5)   # pads 3 -> 8 over 8 devices
+    a = engine.predict(img, center, M, cube)
+    b = eng8.predict(img, center, M, cube)
+    for k in a:
+        np.testing.assert_allclose(b[k], a[k], rtol=1e-5, atol=1e-4,
+                                   err_msg=k)
+
+
+def test_multi_device_bucket_divisibility_checked(engine):
+    import jax
+    from dsf_tpu.serving import InferenceEngine
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs the 8-device CPU mesh")
+    with pytest.raises(ValueError):
+        InferenceEngine(engine.cfg.replace(num_devices=8),
+                        engine.variables, buckets=(1, 4))
