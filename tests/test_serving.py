@@ -189,3 +189,27 @@ def test_multi_device_bucket_divisibility_checked(engine):
     with pytest.raises(ValueError):
         InferenceEngine(engine.cfg.replace(num_devices=8),
                         engine.variables, buckets=(1, 4))
+
+
+def test_from_torch_checkpoint_serves(tmp_path):
+    """The migration path: a reference-format .pth serves directly."""
+    import torch
+    from dsf_tpu.mano import synthetic
+    from test_backbone_import import _synthetic_state_dict
+
+    sd = _synthetic_state_dict(np.random.RandomState(7))
+    # a real checkpoint stores tensors (the reference torch.saves
+    # {'model': state_dict}); exercise that exact on-disk form
+    pth = str(tmp_path / "net.pth")
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v))
+                          for k, v in sd.items()}}, pth)
+    npz = str(tmp_path / "m.npz")
+    synthetic.save_synthetic_mano(npz)
+
+    eng = InferenceEngine.from_torch_checkpoint(pth, dataset="nyu",
+                                                mano_npz=npz, buckets=(1,))
+    depth = np.zeros((1, 480, 640), np.float32)
+    depth[:, 200:280, 280:360] = 730.0
+    out = eng.predict_from_depth(depth)
+    assert out["joint_xyz_mm"].shape == (1, len(eng.transfer_map), 3)
+    assert np.isfinite(out["joint_xyz_mm"]).all()
