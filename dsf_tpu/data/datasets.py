@@ -230,7 +230,11 @@ class NYUDataset(BaseDataset):
         tests/test_misc_parity.py).  Label math is vectorized numpy.
         Augmented (train) fetches keep the per-sample cv2 path."""
         from dsf_tpu.data import native
-        if self.augment or not native.available():
+        # subclasses that extend __getitem__ (CCSSL weights, ST model
+        # params) must go through it — the fast path only serves classes
+        # whose items are exactly the base batch dict
+        if (self.augment or not native.available()
+                or type(self).__getitem__ is not NYUDataset.__getitem__):
             return super()._fetch_batch(idx)
         idx = np.asarray(idx)
         depths = np.stack(list(self._worker_pool().map(self._read_depth,
@@ -413,7 +417,8 @@ class ICVLDataset(BaseDataset):
         fans out over the worker pool, crop+normalize+labels run in the
         shared vectorized/native path."""
         from dsf_tpu.data import native
-        if self.phase == "train" or not native.available():
+        if (self.phase == "train" or not native.available()
+                or type(self).__getitem__ is not ICVLDataset.__getitem__):
             return super()._fetch_batch(idx)
         idx = np.asarray(idx)
         depths = np.stack(list(self._worker_pool().map(self._read_depth,
@@ -555,7 +560,8 @@ class MSRADataset(BaseDataset):
         """Eval-batch fast path (same contract as NYUDataset's), with
         the per-person cube table applied per frame."""
         from dsf_tpu.data import native
-        if self.phase == "train" or not native.available():
+        if (self.phase == "train" or not native.available()
+                or type(self).__getitem__ is not MSRADataset.__getitem__):
             return super()._fetch_batch(idx)
         idx = np.asarray(idx)
         depths = np.stack(list(self._worker_pool().map(self._read_depth,

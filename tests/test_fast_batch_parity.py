@@ -63,3 +63,32 @@ def test_msra_fast_batch_matches_items(tmp_path):
     ds = D.MSRADataset(str(root), "test", test_persons=0, img_size=64)
     assert len(ds) == 4
     _assert_batches_match(ds, 4)
+
+
+def test_subclasses_with_extra_keys_bypass_fast_path(tmp_path):
+    """NYUCCSSLDataset adds 'weight' and NYUSTDataset adds 'model_para'
+    via __getitem__; the inherited fast path must NOT swallow them on
+    unaugmented fetches (regression: the fast path bypassed
+    __getitem__)."""
+    from dsf_tpu.data.fake import make_fake_nyu
+    from dsf_tpu.mano import synthetic
+
+    mano = synthetic.save_synthetic_mano(str(tmp_path / "m.npz"))
+    make_fake_nyu(str(tmp_path / "data"), mano, n_train=4, n_test=2)
+    root = str(tmp_path / "data" / "nyu")
+
+    st = D.NYUSTDataset(root, "test", img_size=64)
+    st.augment = False
+    b = st._fetch_batch(np.arange(2))
+    assert "model_para" in b and b["model_para"].shape == (2, 62)
+
+    pseudo = tmp_path / "pseudo"
+    pseudo.mkdir()
+    n = len(D.NYUDataset(root, "test", img_size=64))
+    uvd = np.tile([320.0, 240.0, 700.0], (n, 14, 1))
+    np.savetxt(pseudo / "joint_uvd.txt", uvd.reshape(n, -1), fmt="%.3f")
+    np.savetxt(pseudo / "weight.txt", np.ones((n, 14)), fmt="%.3f")
+    cc = D.NYUCCSSLDataset(root, "test", str(pseudo), img_size=64)
+    cc.augment = False
+    b = cc._fetch_batch(np.arange(2))
+    assert "weight" in b and b["weight"].shape == (2, 14)
