@@ -336,17 +336,17 @@ class InferenceEngine:
         return path
 
     def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
-        """Compile all (or the given) buckets before taking traffic."""
-        import jax.numpy as jnp
+        """Compile all (or the given) buckets before taking traffic —
+        through the production predict path, so the compiled signatures
+        (incl. mesh shardings) are exactly the steady-state ones."""
+        import numpy as _np
+        from dsf_tpu import geometry as geo
 
         S = self.cfg.input_size
         for b in buckets or self.buckets:
-            prog = self._program(b)
-            img = jnp.zeros((b, 1, S, S), jnp.float32)
-            center = jnp.tile(jnp.asarray([[0.0, 0.0, 750.0]]), (b, 1))
-            cube = jnp.full((b, 3), float(self.cfg.cube_size[0]))
-            from dsf_tpu import geometry as geo
+            img = _np.zeros((b, 1, S, S), _np.float32)
+            center = _np.tile([[0.0, 0.0, 750.0]], (b, 1)).astype(_np.float32)
+            cube = _np.full((b, 3), float(self.cfg.cube_size[0]), _np.float32)
             com = geo.xyz_to_uvd(center, self.paras)
-            M = geo.crop_matrix(com, cube, self.paras, (S, S))
-            import jax
-            jax.block_until_ready(prog(self.variables, img, center, M, cube))
+            M = _np.asarray(geo.crop_matrix(com, cube, self.paras, (S, S)))
+            self.predict(img, center, M, cube)
