@@ -213,3 +213,10 @@ def test_from_torch_checkpoint_serves(tmp_path):
     out = eng.predict_from_depth(depth)
     assert out["joint_xyz_mm"].shape == (1, len(eng.transfer_map), 3)
     assert np.isfinite(out["joint_xyz_mm"]).all()
+
+
+def test_warmup_runs_production_signatures(engine):
+    engine.warmup()            # all buckets through the predict path
+    img, center, M, cube = _inputs(2, seed=6)
+    out = engine.predict(img, center, M, cube)
+    assert np.isfinite(out["joint_xyz_mm"]).all()
