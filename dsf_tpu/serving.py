@@ -218,10 +218,18 @@ class InferenceEngine:
                 return b
         return self.buckets[-1]
 
-    def predict(self, img, center, M, cube) -> Dict[str, np.ndarray]:
+    def predict(self, img, center, M, cube,
+                as_numpy: bool = True) -> Dict[str, np.ndarray]:
         """Network-native interface: ``img`` (B, 1, S, S) normalized
         depth crops in [-1, 1], ``center`` (B, 3) xyz mm, ``M`` (B, 3, 3)
-        crop matrices, ``cube`` (B, 3) mm.  Any B ≥ 1."""
+        crop matrices, ``cube`` (B, 3) mm.  Any B ≥ 1.
+
+        ``as_numpy=False`` returns device arrays WITHOUT a host sync —
+        the call is a pure async dispatch, letting callers pipeline
+        requests (dispatch the next batch while the device runs this
+        one) and fetch results when needed.  With the default
+        ``as_numpy=True`` every call blocks on a device→host transfer,
+        which on remote-attached TPUs costs a full RTT per request."""
         import jax.numpy as jnp
 
         img = np.asarray(img, np.float32)
@@ -252,10 +260,16 @@ class InferenceEngine:
                 res = prog(self._replicated, *args)
             else:
                 res = prog(self.variables, *map(jnp.asarray, args))
-            chunks.append({k: np.asarray(v)[:take] for k, v in res.items()})
+            if as_numpy:
+                chunks.append({k: np.asarray(v)[:take]
+                               for k, v in res.items()})
+            else:
+                chunks.append({k: v[:take] for k, v in res.items()})
             i += take
-        return {k: np.concatenate([c[k] for c in chunks])
-                for k in chunks[0]}
+        if len(chunks) == 1:
+            return chunks[0]
+        cat = np.concatenate if as_numpy else jnp.concatenate
+        return {k: cat([c[k] for c in chunks]) for k in chunks[0]}
 
     def predict_from_depth(self, depth, com_xyz=None, cube_mm=None
                            ) -> Dict[str, np.ndarray]:

@@ -86,6 +86,21 @@ def test_bucket_padding_is_invisible(engine):
         np.testing.assert_array_equal(part[k], full[k][:3])
 
 
+def test_async_predict_matches_sync(engine):
+    """as_numpy=False is a pure dispatch returning device arrays whose
+    rows equal the sync path's — across bucket padding AND chunking."""
+    import jax
+
+    for B, seed in ((3, 5), (6, 6)):   # padded bucket; two chunks
+        img, center, M, cube = _inputs(B, seed=seed)
+        sync = engine.predict(img, center, M, cube)
+        dev = engine.predict(img, center, M, cube, as_numpy=False)
+        assert not isinstance(dev["joint_xyz_mm"], np.ndarray)
+        jax.block_until_ready(dev["joint_xyz_mm"])
+        for k in sync:
+            np.testing.assert_array_equal(np.asarray(dev[k]), sync[k])
+
+
 def test_oversize_requests_chunk(engine):
     """B=6 > max bucket 4 → two chunks; matches per-row evaluation."""
     img, center, M, cube = _inputs(6, seed=2)
