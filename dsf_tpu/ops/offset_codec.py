@@ -50,6 +50,11 @@ def joint2offset(joint, img, kernel_size, feature_size):
     return jnp.concatenate([offset_m, heatmap_m], axis=1)
 
 
+USE_PALLAS_DECODE = True   # fused single-pass decode on TPU (see
+                           # pallas_codec.py); the jnp path below is the
+                           # reference for CPU and parity tests
+
+
 def offset2joint_softmax(offset, depth, kernel_size, scale=30.0):
     """(B, 4J, S, S) feature + depth (B, 1, H, W) -> joints (B, J, 3).
 
@@ -59,6 +64,15 @@ def offset2joint_softmax(offset, depth, kernel_size, scale=30.0):
     J = C // 4
     if depth.shape[-1] != S:
         depth = resize_nearest(depth, (S, S))
+    if (USE_PALLAS_DECODE and jax.default_backend() != "cpu"
+            and C == 4 * J and (S * S) % 128 == 0
+            and offset.dtype == jnp.float32):
+        try:
+            from dsf_tpu.ops.pallas_codec import decode_pallas
+            return decode_pallas(offset, depth.astype(jnp.float32),
+                                 float(kernel_size), float(scale))
+        except Exception:
+            pass
     unit = offset[:, : J * 3].reshape(B, J, 3, S * S)
     heatmap = offset[:, J * 3:].reshape(B, J, S * S)
     coords = _coords(depth, S).reshape(B, 1, 3, S * S)

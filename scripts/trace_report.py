@@ -15,10 +15,17 @@ import sys
 from collections import defaultdict
 
 
-def load_trace_events(xplane_path):
+def load_trace_events(path):
+    if path.endswith(".trace.json.gz"):
+        import gzip
+        with gzip.open(path, "rt") as f:
+            return json.load(f)
+    # xplane fallback (needs PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python
+    # with the old generated protos in this image)
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
     from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
 
-    data, _ = rtd.xspace_to_tool_data([xplane_path], "trace_viewer", {})
+    data, _ = rtd.xspace_to_tool_data([path], "trace_viewer", {})
     if isinstance(data, bytes):
         data = data.decode("utf-8", "replace")
     return json.loads(data)
@@ -27,9 +34,11 @@ def load_trace_events(xplane_path):
 def main():
     trace_dir = sys.argv[1]
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
-                      recursive=True)
-    assert paths, f"no xplane under {trace_dir}"
+    paths = (glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                       recursive=True)
+             or glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                          recursive=True))
+    assert paths, f"no trace under {trace_dir}"
     ev = load_trace_events(paths[0])
 
     # TPU device lanes: pid whose process name mentions TPU/device

@@ -124,3 +124,56 @@ def test_point_mesh_culled_masked_matches_scan(interpret_pallas):
     d2, _ = argmin_faces_pallas_culled(pts, tris, jnp.asarray(mask), ppart)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.fixture()
+def interpret_codec(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    import dsf_tpu.ops.pallas_codec as PC
+    monkeypatch.setattr(PC.pl, "pallas_call", patched)
+    yield
+
+
+def _codec_inputs(seed=0, B=3, J=21, S=32):
+    rng = np.random.RandomState(seed)
+    offset = rng.randn(B, 4 * J, S, S).astype(np.float32) * 0.3
+    # heatmap channels in a realistic range (cone values in [-x, 1])
+    offset[:, 3 * J:] = rng.uniform(-0.5, 1.0, (B, J, S, S))
+    depth = rng.uniform(-1, 1.05, (B, 1, S, S)).astype(np.float32)
+    return jnp.asarray(offset), jnp.asarray(depth)
+
+
+def test_codec_decode_kernel_matches_jnp(interpret_codec):
+    from dsf_tpu.ops.offset_codec import offset2joint_softmax
+    from dsf_tpu.ops.pallas_codec import decode_pallas
+    offset, depth = _codec_inputs()
+    ref = offset2joint_softmax(offset, depth, 0.8)    # CPU -> jnp path
+    out = decode_pallas(offset, depth, 0.8, 30.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_codec_decode_kernel_grads_match_jnp(interpret_codec):
+    from dsf_tpu.ops.offset_codec import offset2joint_softmax
+    from dsf_tpu.ops.pallas_codec import decode_pallas
+    offset, depth = _codec_inputs(seed=1, B=2, S=16)
+    cot = jnp.asarray(np.random.RandomState(2).randn(2, 21, 3)
+                      .astype(np.float32))
+
+    def loss_ref(o, d):
+        return jnp.sum(offset2joint_softmax(o, d, 0.8) * cot)
+
+    def loss_ker(o, d):
+        return jnp.sum(decode_pallas(o, d, 0.8, 30.0) * cot)
+
+    go_r, gd_r = jax.grad(loss_ref, argnums=(0, 1))(offset, depth)
+    go_k, gd_k = jax.grad(loss_ker, argnums=(0, 1))(offset, depth)
+    np.testing.assert_allclose(np.asarray(go_k), np.asarray(go_r),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gd_k), np.asarray(gd_r),
+                               rtol=1e-4, atol=1e-6)
