@@ -19,6 +19,10 @@ import jax.numpy as jnp
 
 from dsf_tpu.ops.image import resize_nearest
 
+USE_PALLAS_CODEC = True   # fused single-pass encode/decode kernels on
+                          # TPU (pallas_codec.py); the jnp paths below
+                          # are the reference for CPU and parity tests
+
 
 def _coords(depth, feature_size):
     """(B, 3, S, S): normalized pixel-center u, v grids + depth channel."""
@@ -37,6 +41,16 @@ def joint2offset(joint, img, kernel_size, feature_size):
     """
     B, J, _ = joint.shape
     img_s = resize_nearest(img, (feature_size, feature_size))
+    if (USE_PALLAS_CODEC and jax.default_backend() != "cpu"
+            and (feature_size * feature_size) % 128 == 0
+            and img.dtype == jnp.float32):
+        try:
+            from dsf_tpu.ops.pallas_codec import encode_pallas
+            return encode_pallas(joint.astype(jnp.float32),
+                                 img_s.astype(jnp.float32),
+                                 float(kernel_size))
+        except Exception:
+            pass
     coords = _coords(img_s, feature_size)                       # (B,3,S,S)
     offset = joint.reshape(B, J, 3, 1, 1) - coords[:, None]      # (B,J,3,S,S)
     dist = jnp.sqrt(jnp.sum(offset * offset, axis=2) + 1e-8)     # (B,J,S,S)
@@ -50,11 +64,6 @@ def joint2offset(joint, img, kernel_size, feature_size):
     return jnp.concatenate([offset_m, heatmap_m], axis=1)
 
 
-USE_PALLAS_DECODE = True   # fused single-pass decode on TPU (see
-                           # pallas_codec.py); the jnp path below is the
-                           # reference for CPU and parity tests
-
-
 def offset2joint_softmax(offset, depth, kernel_size, scale=30.0):
     """(B, 4J, S, S) feature + depth (B, 1, H, W) -> joints (B, J, 3).
 
@@ -64,7 +73,7 @@ def offset2joint_softmax(offset, depth, kernel_size, scale=30.0):
     J = C // 4
     if depth.shape[-1] != S:
         depth = resize_nearest(depth, (S, S))
-    if (USE_PALLAS_DECODE and jax.default_backend() != "cpu"
+    if (USE_PALLAS_CODEC and jax.default_backend() != "cpu"
             and C == 4 * J and (S * S) % 128 == 0
             and offset.dtype == jnp.float32):
         try:

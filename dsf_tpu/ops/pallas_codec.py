@@ -187,3 +187,128 @@ def _decode_bwd(kernel_size, scale, res, g):
 
 
 decode_pallas.defvjp(_decode_fwd, _decode_bwd)
+
+
+# ---------------------------------------------------------------------------
+# encode: joint2offset (joints -> offset field + cone heatmap)
+# ---------------------------------------------------------------------------
+
+def _enc_common(j3, img, J, S, kernel_size):
+    """Shared fwd/bwd: offsets, distances, heat, mask."""
+    P = S * S
+    E3, C3sel = _row_maps(J)
+    S3 = E3.T
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    u = ((pidx % S).astype(jnp.float32) + 0.5) / S * 2.0 - 1.0
+    v = ((pidx // S).astype(jnp.float32) + 0.5) / S * 2.0 - 1.0
+    coords = jnp.concatenate([u, v, img], axis=0)        # (3, P)
+    C3 = _dot(C3sel, coords)                             # (3J, P)
+    off3 = j3 - C3                                       # (3J, P)
+    dist = jnp.sqrt(_dot(S3, off3 * off3) + 1e-8)        # (J, P)
+    heat = (kernel_size - dist) / kernel_size
+    fg = (img < 0.99).astype(jnp.float32)                # (1, P)
+    m = (heat >= 0).astype(jnp.float32) * fg             # (J, P)
+    return E3, S3, off3, dist, heat, m
+
+
+def _enc_fwd_kernel(J, S, kernel_size, j_ref, d_ref, out_ref):
+    j3 = j_ref[0]                                        # (3J, 1)
+    img = d_ref[0]                                       # (1, P)
+    E3, S3, off3, dist, heat, m = _enc_common(j3, img, J, S, kernel_size)
+    out_ref[0, 0:3 * J, :] = off3 / _dot(E3, dist) * _dot(E3, m)
+    out_ref[0, 3 * J:4 * J, :] = heat * m
+
+
+def _enc_bwd_kernel(J, S, kernel_size, j_ref, d_ref, g_ref,
+                    dj_ref, dd_ref):
+    j3 = j_ref[0]
+    img = d_ref[0]
+    E3, S3, off3, dist, heat, m = _enc_common(j3, img, J, S, kernel_size)
+    gu = g_ref[0, 0:3 * J, :]                            # (3J, P)
+    gh = g_ref[0, 3 * J:4 * J, :]                        # (J, P)
+    rd = 1.0 / dist                                      # (J, P)
+    # d(out_unit)/d(dist) = -m * off3 * rd^2 summed over the joint's
+    # 3 rows; d(out_heat)/d(dist) = -m / k
+    Su = _dot(S3, gu * off3)                             # (J, P)
+    ddist = -m * (rd * rd * Su + gh / kernel_size)       # (J, P)
+    # d dist / d off3 = off3 * rd
+    d_off3 = (gu * _dot(E3, m * rd)
+              + off3 * _dot(E3, rd * ddist))             # (3J, P)
+    dj_ref[0] = jnp.sum(d_off3, axis=1, keepdims=True)   # (3J, 1)
+    rz = jax.lax.broadcasted_iota(jnp.int32, (3 * J, 1), 0)
+    mz = (rz % 3 == 2).astype(jnp.float32)
+    dd_ref[0] = -jnp.sum(d_off3 * mz, axis=0, keepdims=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def encode_pallas(joint, img_s, kernel_size):
+    """joint (B, J, 3) normalized uvd + img_s (B, 1, S, S) f32 (already
+    at the feature size) -> (B, 4J, S, S) f32.
+
+    Fused Pallas equivalent of joint2offset; gradients flow to the
+    joints and (through the depth coordinate) to the image."""
+    return _encode_fwd_call(joint, img_s, kernel_size)
+
+
+def _encode_fwd_call(joint, img_s, kernel_size):
+    B, J, _ = joint.shape
+    S = img_s.shape[-1]
+    P = S * S
+    j3 = joint.reshape(B, 3 * J, 1)
+    d = img_s.reshape(B, 1, P)
+    kern = functools.partial(_enc_fwd_kernel, J, S, float(kernel_size))
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, 4 * J, P), jnp.float32),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3 * J, 1), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4 * J, P), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(j3.astype(jnp.float32), d.astype(jnp.float32))
+    return out.reshape(B, 4 * J, S, S)
+
+
+def _encode_fwd(joint, img_s, kernel_size):
+    return _encode_fwd_call(joint, img_s, kernel_size), (joint, img_s)
+
+
+def _encode_bwd(kernel_size, res, g):
+    joint, img_s = res
+    B, J, _ = joint.shape
+    S = img_s.shape[-1]
+    P = S * S
+    j3 = joint.reshape(B, 3 * J, 1)
+    d = img_s.reshape(B, 1, P)
+    gp = g.reshape(B, 4 * J, P)
+    kern = functools.partial(_enc_bwd_kernel, J, S, float(kernel_size))
+    dj, dd = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((B, 3 * J, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, P), jnp.float32)),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3 * J, 1), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * J, P), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3 * J, 1), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(j3.astype(jnp.float32), d.astype(jnp.float32),
+      gp.astype(jnp.float32))
+    return (dj.reshape(joint.shape).astype(joint.dtype),
+            dd.reshape(img_s.shape).astype(img_s.dtype))
+
+
+encode_pallas.defvjp(_encode_fwd, _encode_bwd)

@@ -177,3 +177,39 @@ def test_codec_decode_kernel_grads_match_jnp(interpret_codec):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gd_k), np.asarray(gd_r),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_codec_encode_kernel_matches_jnp(interpret_codec):
+    from dsf_tpu.ops.offset_codec import joint2offset
+    from dsf_tpu.ops.pallas_codec import encode_pallas
+    rng = np.random.RandomState(3)
+    B, J, S = 3, 21, 32
+    joint = jnp.asarray(rng.uniform(-0.9, 0.9, (B, J, 3)).astype(np.float32))
+    img = jnp.asarray(rng.uniform(-1, 1.05, (B, 1, S, S)).astype(np.float32))
+    ref = joint2offset(joint, img, 0.8, S)            # CPU -> jnp path
+    out = encode_pallas(joint, img, 0.8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_codec_encode_kernel_grads_match_jnp(interpret_codec):
+    from dsf_tpu.ops.offset_codec import joint2offset
+    from dsf_tpu.ops.pallas_codec import encode_pallas
+    rng = np.random.RandomState(4)
+    B, J, S = 2, 21, 16
+    joint = jnp.asarray(rng.uniform(-0.9, 0.9, (B, J, 3)).astype(np.float32))
+    img = jnp.asarray(rng.uniform(-1, 1.05, (B, 1, S, S)).astype(np.float32))
+    cot = jnp.asarray(rng.randn(B, 4 * J, S, S).astype(np.float32))
+
+    def loss_ref(j, d):
+        return jnp.sum(joint2offset(j, d, 0.8, S) * cot)
+
+    def loss_ker(j, d):
+        return jnp.sum(encode_pallas(j, d, 0.8) * cot)
+
+    gj_r, gd_r = jax.grad(loss_ref, argnums=(0, 1))(joint, img)
+    gj_k, gd_k = jax.grad(loss_ker, argnums=(0, 1))(joint, img)
+    np.testing.assert_allclose(np.asarray(gj_k), np.asarray(gj_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gd_k), np.asarray(gd_r),
+                               rtol=1e-4, atol=1e-5)
