@@ -125,6 +125,94 @@ def raster_pallas_tiles(pix_tiles, ke_tiles, tsq, cap):
     return zbuf.reshape(B, P), idx.reshape(B, P)
 
 
+MOM_TILE = 512       # pixels per grid step (sublane axis of the one-hot)
+
+
+def _moments_kernel(Tp, tile, upd_ref, idx_ref, out_ref):
+    """One grid step: accumulate this pixel tile's per-face moments.
+
+    upd (1, 8, tile) f32: rows [g, g*u, g*v, 0...]; idx (1, tile, 1)
+    int32 hit-face ids (-1 / out-of-range = no face); out (1, 8, Tp)
+    f32 accumulated over the pixel-tile grid axis.
+
+    The one-hot is built pixels-on-SUBLANES x faces-on-LANES so the
+    MXU dot is (8, tile) @ (tile, Tp): m=8 streams through the array
+    in 8 cycles per (k, n) block — the transposed orientation
+    (Tp, tile) @ (tile, 8) would stream m=Tp rows and is ~16x slower.
+    Exactness: the 0/1 mask is exact in bf16, and the f32 cotangent
+    rows are fed as a 3-way bf16 split (hi + mid + lo covers ~24
+    mantissa bits), so every MXU product is exact and accumulation is
+    f32 — equivalent precision to a HIGHEST f32 matmul in half the
+    passes (3 vs 6)."""
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    U = upd_ref[0]                                       # (8, tile) f32
+    idc = idx_ref[0]                                     # (tile, 1) int32
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, Tp), 1)
+    mask = (iota == idc).astype(jnp.bfloat16)            # (tile, Tp)
+    hi = U.astype(jnp.bfloat16)
+    r1 = U - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot(a):
+        return jax.lax.dot_general(a, mask, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    out_ref[0] += dot(hi) + dot(mid) + dot(lo)
+
+
+def face_moments_pallas(idx, upd, num_faces):
+    """Per-face cotangent moments for the raster backward.
+
+    idx: (B, P) int32 winning-face ids (-1 = background).
+    upd: (B, P, 3) f32 per-pixel rows [g, g*u, g*v] (misses zeroed).
+    Returns (B, num_faces, 3) f32 = sum of upd rows over each face's
+    covering pixels — the same contraction as rasterize._attach_bwd's
+    chunked one-hot einsum, restructured so the one-hot never leaves
+    VMEM and the dot runs m=8-thin on the MXU.
+
+    Measured on v5e (B=64, P=128^2, T=1554, trace-exclusive device
+    time): 3.15 ms/iter end-to-end (kernel 2.3 + the (B,8,P) relayout
+    copy 0.8) vs the XLA chunked einsum's 3.25 — a wash, so the einsum
+    stays the production default (rasterize.USE_PALLAS_MOMENTS=False).
+    Also measured: an m=3 variant taking (B,3,P) rows from one stack
+    fusion with the iota hoisted to VMEM scratch — 3.19 ms/iter (the
+    thinner dot gives back what the copy saves).  Kept (exact to
+    1.5e-7 vs a float64 scatter) as the building block for a future
+    fully-fused raster backward."""
+    B, P = idx.shape
+    tile = MOM_TILE
+    Pp = ((P + tile - 1) // tile) * tile
+    Tp = ((num_faces + 127) // 128) * 128
+    upd8 = jnp.concatenate(
+        [upd.astype(jnp.float32), jnp.zeros((B, P, 5), jnp.float32)],
+        axis=-1).transpose(0, 2, 1)                      # (B, 8, P)
+    if Pp != P:
+        upd8 = jnp.pad(upd8, ((0, 0), (0, 0), (0, Pp - P)))
+        idx = jnp.pad(idx, ((0, 0), (0, Pp - P)), constant_values=-1)
+    idxc = idx[..., None]                                # (B, Pp, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_moments_kernel, Tp, tile),
+        out_shape=jax.ShapeDtypeStruct((B, 8, Tp), jnp.float32),
+        grid=(B, Pp // tile),
+        in_specs=[
+            pl.BlockSpec((1, 8, tile), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, Tp), lambda b, t: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(upd8, idxc)
+    return out[:, :3, :num_faces].transpose(0, 2, 1)     # (B, T, 3)
+
+
 def raster_pallas(proj, pix_uv, faces):
     """Rasterize with the Pallas kernel.  proj (B, V, 3); pix_uv
     (B, P, 2); faces (F, 3).  Returns (zbuf (B, P), idx (B, P))."""

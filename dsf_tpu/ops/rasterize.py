@@ -359,6 +359,21 @@ def _z_of_tri(tri, uv):
 _grad_z_tri = jax.vmap(jax.vmap(jax.grad(_z_of_tri, argnums=0)))
 
 
+USE_PALLAS_MOMENTS = False  # measured on v5e (B=64, 128^2, 1554f,
+                            # trace-exclusive): Pallas one-hot-dot
+                            # moments 3.15ms/iter vs the XLA chunked
+                            # einsum's 3.25ms — a wash (the kernel's
+                            # 2.3ms dot win is eaten by the (B,8,P)
+                            # relayout copy; an m=3 variant with the
+                            # rows built in one fusion and the iota
+                            # hoisted to scratch also measured 3.2ms).
+                            # The big per-iter raster cost is the
+                            # FORWARD argmin scan (17.4ms at that
+                            # shape), not this contraction.  Kernel
+                            # kept (pallas_raster.face_moments_pallas,
+                            # exact to 1.5e-7 vs f64) for future
+                            # fused-backward work.
+
 USE_PALLAS_RASTER = False   # measured on v5e: isolated scan 11.2ms vs
                             # pallas 12.6ms (B=32/128^2/1554f), and in
                             # the FULL FinetuneStage step the kernel is
@@ -420,19 +435,27 @@ def _attach_bwd(res, g):
     upd = jnp.stack([gm, gm * pix_uv[..., 0], gm * pix_uv[..., 1]], axis=-1)
     T = faces.shape[0]
 
-    # moments via chunked one-hot matmul on the MXU: measured 11.8ms for
-    # scan+moments vs 17.9ms with a (B,P)->(T,3) scatter-add (B=32,
-    # P=128^2, T=1554 on v5e); HIGHEST precision keeps it exact to f32
-    # summation order (2e-7 rel vs the scatter; the default MXU passes
-    # drift 1e-3).  Misses contribute zeros via gm, so no index masking.
-    chunks = []
-    for c in range(0, T, 512):
-        width = min(512, T - c)
-        onehot = (idx[:, :, None]
-                  == (c + jnp.arange(width))[None, None]).astype(g.dtype)
-        chunks.append(jnp.einsum("bpc,bpm->bcm", onehot, upd,
-                                 precision=jax.lax.Precision.HIGHEST))
-    mom = jnp.concatenate(chunks, axis=1)       # (B, T, 3): S1, Su, Sv
+    # moments via one-hot matmul on the MXU (measured 11.8ms for
+    # scan+moments vs 17.9ms with a (B,P)->(T,3) scatter-add at B=32,
+    # P=128^2, T=1554 on v5e).  The chunked einsum is the production
+    # path: the Pallas kernel alternative (see USE_PALLAS_MOMENTS)
+    # measured equal end-to-end on TPU (3.15 vs 3.25 ms/iter at B=64).
+    # HIGHEST precision keeps it exact to f32 summation order (2e-7
+    # rel vs the scatter).  Misses contribute zeros via gm, so no
+    # index masking.
+    if USE_PALLAS_MOMENTS and jax.default_backend() != "cpu":
+        from dsf_tpu.ops.pallas_raster import face_moments_pallas
+        mom = face_moments_pallas(idx, upd.astype(jnp.float32), T)
+        mom = mom.astype(g.dtype)
+    else:
+        chunks = []
+        for c in range(0, T, 512):
+            width = min(512, T - c)
+            onehot = (idx[:, :, None]
+                      == (c + jnp.arange(width))[None, None]).astype(g.dtype)
+            chunks.append(jnp.einsum("bpc,bpm->bcm", onehot, upd,
+                                     precision=jax.lax.Precision.HIGHEST))
+        mom = jnp.concatenate(chunks, axis=1)   # (B, T, 3): S1, Su, Sv
 
     def face_sum(p):
         tri = p[:, faces]
