@@ -14,6 +14,7 @@ two-stage graph stays jit/pjit-traceable.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax.numpy as jnp
@@ -27,6 +28,20 @@ from dsf_tpu.ops.offset_codec import joint2offset
 from dsf_tpu.render import renderer as rnd
 
 MANO_PARAM_DIM = 3 + 45 + 10 + 4
+
+
+def _maybe_remat(cls):
+    """Optionally rematerialize a submodule's activations (DSF_REMAT=1).
+
+    The train step's backward pass re-reads every stored conv/BN/ReLU
+    activation from HBM; remat trades that traffic for recompute inside
+    the backward fusions.  Kept behind an env flag so the effect can be
+    measured as a single variable (the lifted transform preserves the
+    parameter/stat tree, so checkpoints are unaffected).
+    """
+    if os.environ.get("DSF_REMAT", "0") != "1":
+        return cls
+    return nn.remat(cls, static_argnums=(2,))
 
 
 class _Trunk(nn.Module):
@@ -100,8 +115,9 @@ class ManoOCR(nn.Module):
 
     @nn.compact
     def __call__(self, img, train: bool = True):
-        _, c4 = _Trunk(self.depth, True, 64, self.bn_axis_name, self.dtype,
-                       name="trunk")(nchw_to_nhwc(img), train)
+        _, c4 = _maybe_remat(_Trunk)(self.depth, True, 64, self.bn_axis_name,
+                                     self.dtype, name="trunk")(
+            nchw_to_nhwc(img), train)
         img_result, mano_para, _ = _Heads(
             self.joint_num, self.bn_axis_name, self.dtype,
             name="heads")(c4, train)
@@ -129,9 +145,10 @@ class ManoOCRStage(nn.Module):
     def __call__(self, img, render: Optional[rnd.Renderer] = None,
                  center=None, cube=None, train: bool = True):
         g = self.bn_groups
-        c0, c4 = _Trunk(self.depth, True, 64, self.bn_axis_name, self.dtype,
-                        g, name="trunk")(nchw_to_nhwc(img), train)
-        img_result, mano_para, img_feature = _Heads(
+        c0, c4 = _maybe_remat(_Trunk)(self.depth, True, 64, self.bn_axis_name,
+                                      self.dtype, g, name="trunk")(
+            nchw_to_nhwc(img), train)
+        img_result, mano_para, img_feature = _maybe_remat(_Heads)(
             self.joint_num, self.bn_axis_name, self.dtype, g,
             name="heads")(c4, train)
         img_result_out = nhwc_to_nchw(img_result)
@@ -156,9 +173,10 @@ class ManoOCRStage(nn.Module):
              nchw_to_nhwc(remap).astype(img_result.dtype)], axis=-1)
         x = ConvBNRelu(256, 3, self.bn_axis_name, self.dtype, g,
                        name="fusion")(fusion, train)
-        _, c4_s2 = _Trunk(self.depth, False, 256, self.bn_axis_name,
-                          self.dtype, g, name="trunk_s2")(x, train)
-        img_result_s2, mano_para_s2, _ = _Heads(
+        _, c4_s2 = _maybe_remat(_Trunk)(self.depth, False, 256,
+                                        self.bn_axis_name, self.dtype, g,
+                                        name="trunk_s2")(x, train)
+        img_result_s2, mano_para_s2, _ = _maybe_remat(_Heads)(
             self.joint_num, self.bn_axis_name, self.dtype, g,
             name="heads_s2")(c4_s2, train)
         return [[img_result_out, mano_para],

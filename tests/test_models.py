@@ -163,3 +163,35 @@ def test_bn_groups2_equals_two_sequential_calls():
     for a, b in zip(flat_seq, flat_stk):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_remat_flag_is_bitwise_neutral(monkeypatch):
+    """DSF_REMAT=1 (activation rematerialization of trunk/heads) must not
+    change the variable tree, outputs, batch_stats, or gradients — it is
+    a pure schedule change (models/backbone.py:_maybe_remat)."""
+    net = ManoOCRStage(joint_num=21, refine=False, bn_groups=2)
+    x = jnp.asarray(np.random.RandomState(3).randn(4, 1, 32, 32)
+                    .astype(np.float32))
+
+    monkeypatch.setenv("DSF_REMAT", "0")
+    v = net.init(jax.random.PRNGKey(0), x, train=True)
+    out0, mut0 = net.apply(v, x, train=True, mutable=["batch_stats"])
+
+    def loss(params):
+        out, _ = net.apply({"params": params,
+                            "batch_stats": v["batch_stats"]},
+                           x, train=True, mutable=["batch_stats"])
+        return sum(jnp.sum(l ** 2) for l in jax.tree_util.tree_leaves(out))
+
+    g0 = jax.grad(loss)(v["params"])
+
+    monkeypatch.setenv("DSF_REMAT", "1")
+    v1 = net.init(jax.random.PRNGKey(0), x, train=True)
+    out1, mut1 = net.apply(v, x, train=True, mutable=["batch_stats"])
+    g1 = jax.grad(loss)(v["params"])
+
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v1))
+    for a, b in zip(jax.tree_util.tree_leaves((out0, mut0, g0)),
+                    jax.tree_util.tree_leaves((out1, mut1, g1))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
