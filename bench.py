@@ -38,7 +38,10 @@ import time
 import numpy as np
 
 A100_REFERENCE_FPS = 200.0
-BATCH = 32
+# B=32 is the reference's training batch (SURVEY §3.1) and the honest
+# apples-to-apples point; DSF_BENCH_BATCH overrides for batch-scaling
+# studies (docs/PERFORMANCE.md records the sweep).
+BATCH = int(os.environ.get("DSF_BENCH_BATCH", "32"))
 
 
 def main():
