@@ -92,11 +92,15 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     fps = BATCH / dt
 
+    # vs_baseline is only meaningful at the reference's own batch size;
+    # a DSF_BENCH_BATCH sweep run reports null there so a B!=32 number
+    # can never masquerade as the parity configuration (ADVICE r3).
     print(json.dumps({
         "metric": "nyu_finetune_stage_train_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / A100_REFERENCE_FPS, 3),
+        "batch": BATCH,
+        "vs_baseline": round(fps / A100_REFERENCE_FPS, 3) if BATCH == 32 else None,
     }))
 
 
