@@ -93,7 +93,15 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
         raise ValueError(cfg.opt)
     # failure detection the reference lacks (SURVEY §5): skip updates on
     # non-finite grads instead of poisoning the parameters
-    return optax.apply_if_finite(tx, max_consecutive_errors=8)
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=8)
+    if os.environ.get("DSF_FLAT_OPT", "0") == "1":
+        # run the (elementwise) optimizer on ONE flattened vector instead
+        # of ~260 per-leaf kernels — numerically identical, fewer launches.
+        # Measured on v5e (round 4): 239.4 vs 245.3 fps baseline — the
+        # ravel/unravel copies of ~47M params cost more than the
+        # kernel-count win, so this stays OFF by default.
+        tx = optax.flatten(tx)
+    return tx
 
 
 @dataclasses.dataclass

@@ -117,3 +117,38 @@ def test_lr_schedule_modes():
     sch = lr_schedule(cfg, spe)
     np.testing.assert_allclose(float(sch(0)), cfg.lr, rtol=1e-6)
     np.testing.assert_allclose(float(sch(50 * spe)), cfg.lr, rtol=1e-6)
+
+
+def test_flat_opt_is_numerically_identical(monkeypatch):
+    """DSF_FLAT_OPT=1 (optax.flatten around the optimizer) must produce
+    bit-identical updates to the per-leaf form — it only changes kernel
+    granularity, not math."""
+    from dsf_tpu.config import Config
+    from dsf_tpu.training.trainer import make_optimizer
+
+    cfg = Config(dataset="nyu")
+    rng = np.random.RandomState(0)
+    params = {
+        "conv": {"kernel": jnp.asarray(rng.randn(3, 3, 4, 8), jnp.float32)},
+        "bn": {"scale": jnp.asarray(rng.rand(8), jnp.float32),
+               "bias": jnp.asarray(rng.randn(8), jnp.float32)},
+    }
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32), params)
+
+    monkeypatch.setenv("DSF_FLAT_OPT", "0")
+    tx0 = make_optimizer(cfg, 100)
+    monkeypatch.setenv("DSF_FLAT_OPT", "1")
+    tx1 = make_optimizer(cfg, 100)
+
+    p0, p1 = params, params
+    s0, s1 = tx0.init(p0), tx1.init(p1)
+    for _ in range(3):
+        u0, s0 = tx0.update(grads, s0, p0)
+        u1, s1 = tx1.update(grads, s1, p1)
+        import optax
+        p0 = optax.apply_updates(p0, u0)
+        p1 = optax.apply_updates(p1, u1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=0, atol=1e-7), p0, p1)
