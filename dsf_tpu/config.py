@@ -79,6 +79,9 @@ class Config:
 
     # TPU-specific
     num_devices: int = 1                  # data-parallel size
+    n_fsdp: int = 1                       # >1: shard params/optimizer over
+                                          # an 'fsdp' mesh axis (ZeRO-3 via
+                                          # GSPMD; parallel/mesh.py)
     compute_dtype: str = "float32"        # 'float32' | 'bfloat16'
     seed: int = 0
 

@@ -213,6 +213,207 @@ def face_moments_pallas(idx, upd, num_faces):
     return out[:, :3, :num_faces].transpose(0, 2, 1)     # (B, T, 3)
 
 
+# --------------------------------------------------------------------------
+# skip-raster: bbox-predicated face-chunk x pixel-tile kernel
+# --------------------------------------------------------------------------
+
+SKIP_TILE = 512      # pixels per tile (lane axis, 4 crop rows at 128^2)
+SKIP_FC = 128        # faces per chunk (sublane axis)
+
+
+def _kernel_skip_impl(tile, fc, flags_ref, pix_ref, ke_ref,
+                      zbuf_ref, idx_ref, bc_ref, zscr, iscr):
+    """Skip-raster kernel body.
+
+    flags (B, NT) int32 in SMEM: bit ci of word [b, ti] says chunk ci's
+    face bbox overlaps pixel-tile ti's bbox — whole (tile, chunk) blocks
+    with the bit clear are skipped (the work reduction the dense kernel
+    lacks).  Loop order is CHUNK-outer so the 12 per-face coefficient
+    columns are lane-broadcast into VMEM scratch ONCE per chunk and
+    reused by every surviving pixel tile — the dense kernel re-broadcast
+    (FC, 1) columns per (tile, chunk), which profiled as its main
+    overhead vs the XLA scan.  zmin/argmin accumulate in VMEM scratch
+    across the whole image (one running buffer per pixel), with the
+    same chunk-major `<` update and in-chunk argmin-first semantics as
+    rasterize._scan_minz — results are bitwise-identical.
+    """
+    b = pl.program_id(0)
+    P = pix_ref.shape[2]
+    Fp = ke_ref.shape[1]
+    nc = Fp // fc
+    nt = P // tile
+
+    zscr[...] = jnp.full(zscr.shape, _INF, jnp.float32)
+    iscr[...] = jnp.full(iscr.shape, -1, jnp.int32)
+
+    def chunk(ci, _):
+        s = ci * fc
+        rows = ke_ref[0, pl.ds(s, fc), :]              # (fc, 16)
+        for i in range(12):
+            bc_ref[i] = jnp.broadcast_to(rows[:, i:i + 1], (fc, tile))
+
+        def tloop(ti, _):
+            bit = (flags_ref[b, ti] >> ci) & 1
+
+            @pl.when(bit != 0)
+            def _():
+                sl = pl.ds(ti * tile, tile)
+                u = pix_ref[0, 0:1, sl]                # (1, tile)
+                v = pix_ref[0, 1:2, sl]
+                e0 = bc_ref[0] * u + bc_ref[1] * v + bc_ref[2]
+                e1 = bc_ref[3] * u + bc_ref[4] * v + bc_ref[5]
+                e2 = bc_ref[6] * u + bc_ref[7] * v + bc_ref[8]
+                z = bc_ref[9] * u + bc_ref[10] * v + bc_ref[11]
+                hit = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (z > 0)
+                z = jnp.where(hit, z, _INF)
+                cmin = jnp.min(z, axis=0, keepdims=True)
+                carg = (jnp.argmin(z, axis=0)
+                        .reshape(1, -1).astype(jnp.int32) + s)
+                zo = zscr[0:1, sl]
+                better = cmin < zo
+                zscr[0:1, sl] = jnp.where(better, cmin, zo)
+                io = iscr[0:1, sl]
+                iscr[0:1, sl] = jnp.where(better, carg, io)
+            return 0
+
+        jax.lax.fori_loop(0, nt, tloop, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nc, chunk, 0)
+    z = zscr[0:1, :]
+    bg = z >= _INF
+    zbuf_ref[0] = jnp.where(bg, 0.0, z)
+    idx_ref[0] = jnp.where(bg, -1, iscr[0:1, :])
+
+
+def _tile_major(x, H, W, bh, bw):
+    """(B, H*W, C) row-major -> tile-major over (bh, bw) blocks."""
+    B, C = x.shape[0], x.shape[-1]
+    x = x.reshape(B, H // bh, bh, W // bw, bw, C).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H * W, C)
+
+
+def _untile_major(x, H, W, bh, bw):
+    """(B, H*W) tile-major -> row-major."""
+    B = x.shape[0]
+    x = x.reshape(B, H // bh, W // bw, bh, bw).transpose(0, 1, 3, 2, 4)
+    return x.reshape(B, H * W)
+
+
+def raster_pallas_skip(proj, pix_uv, faces, tile=SKIP_TILE, fc=SKIP_FC,
+                       tile_hw=None, block=(16, 32)):
+    """Skip-raster: dense-exact zbuf/idx, with (pixel-tile x face-chunk)
+    blocks skipped when the chunk's projected bbox misses the tile's.
+
+    Work reduction comes free from the mesh's face-order locality:
+    topologically adjacent faces (MANO numbers its faces part-by-part)
+    project to nearby pixels in ANY pose, so a 128-face chunk covers a
+    small screen region and most tiles skip it.  Requires
+    F/fc <= 31 chunks (int32 bitmask); larger meshes fall back to the
+    dense scan in the caller.
+
+    ``tile_hw``: (H, W) row-major layout of pix_uv.  When given, pixels
+    are reordered tile-major over ``block`` (bh, bw) 2-D blocks so each
+    kernel tile is a compact screen rectangle instead of bh*bw/W full
+    rows — a 1-D tile spans the whole crop width, so only the vertical
+    bbox test can reject (measured flag density 0.42 at MANO scale);
+    2-D blocks reject in both axes.
+    """
+    from dsf_tpu.ops.rasterize import _face_coeffs
+
+    B, P = pix_uv.shape[0], pix_uv.shape[1]
+    retile = None
+    if tile_hw is not None:
+        H, W = tile_hw
+        bh, bw = block
+        if H % bh == 0 and W % bw == 0 and P == H * W:
+            tile = bh * bw
+            pix_uv = _tile_major(pix_uv, H, W, bh, bw)
+            retile = (H, W, bh, bw)
+    a, b, c, az, bz, cz, valid, _sgn = _face_coeffs(proj, faces)
+    c = c.at[..., 0].set(jnp.where(valid, c[..., 0], -_INF))
+
+    zero = jnp.zeros_like(az)
+    ke = jnp.stack([a[..., 0], b[..., 0], c[..., 0],
+                    a[..., 1], b[..., 1], c[..., 1],
+                    a[..., 2], b[..., 2], c[..., 2],
+                    az, bz, cz, zero, zero, zero, zero], axis=2)
+    F = faces.shape[0]
+    pad_f = (-F) % fc
+    if pad_f:
+        ke = jnp.pad(ke, ((0, 0), (0, pad_f), (0, 0)))
+        far = (jnp.arange(F + pad_f) >= F)[None, :]
+        ke = ke.at[:, :, 2].set(jnp.where(far, -_INF, ke[:, :, 2]))
+    Fp = ke.shape[1]
+    nc = Fp // fc
+    assert nc <= 31, (Fp, fc)
+
+    pad_p = (-P) % tile
+    if pad_p:
+        pix_uv = jnp.pad(pix_uv, ((0, 0), (0, pad_p), (0, 0)),
+                         constant_values=4e9)
+    Pp = pix_uv.shape[1]
+    nt = Pp // tile
+
+    # conservative (tile, chunk) bbox overlap -> per-tile chunk bitmask
+    tri_uv = proj[:, faces][..., :2]                   # (B, F, 3, 2)
+    fmin = tri_uv.min(2)
+    fmax = jnp.where(valid[..., None], tri_uv.max(2), -4e9)
+    fmin = jnp.where(valid[..., None], fmin, 4e9)
+    if pad_f:
+        fmin = jnp.pad(fmin, ((0, 0), (0, pad_f), (0, 0)),
+                       constant_values=4e9)
+        fmax = jnp.pad(fmax, ((0, 0), (0, pad_f), (0, 0)),
+                       constant_values=-4e9)
+    cmn = fmin.reshape(B, nc, fc, 2).min(2)            # (B, nc, 2)
+    cmx = fmax.reshape(B, nc, fc, 2).max(2)
+    tuv = pix_uv.reshape(B, nt, tile, 2)
+    tmn = tuv.min(2)                                   # (B, nt, 2)
+    tmx = tuv.max(2)
+    ov = ((cmn[:, None, :, 0] <= tmx[:, :, None, 0])
+          & (cmx[:, None, :, 0] >= tmn[:, :, None, 0])
+          & (cmn[:, None, :, 1] <= tmx[:, :, None, 1])
+          & (cmx[:, None, :, 1] >= tmn[:, :, None, 1]))   # (B, nt, nc)
+    flags = (ov.astype(jnp.int32)
+             << jnp.arange(nc, dtype=jnp.int32)[None, None]).sum(-1)
+
+    pix_t = pix_uv.transpose(0, 2, 1)                  # (B, 2, Pp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 2, Pp), lambda bi, f: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Fp, 16), lambda bi, f: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, Pp), lambda bi, f: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Pp), lambda bi, f: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((12, fc, tile), jnp.float32),
+            pltpu.VMEM((1, Pp), jnp.float32),
+            pltpu.VMEM((1, Pp), jnp.int32),
+        ],
+    )
+    zbuf, idx = pl.pallas_call(
+        functools.partial(_kernel_skip_impl, tile, fc),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((B, 1, Pp), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, Pp), jnp.int32)),
+    )(flags, pix_t.astype(jnp.float32), ke)
+    zbuf, idx = zbuf[:, 0, :P], idx[:, 0, :P]
+    idx = jnp.where(idx >= F, -1, idx)
+    if retile is not None:
+        zbuf = _untile_major(zbuf, *retile)
+        idx = _untile_major(idx, *retile)
+    return zbuf, idx
+
+
 def raster_pallas(proj, pix_uv, faces):
     """Rasterize with the Pallas kernel.  proj (B, V, 3); pix_uv
     (B, P, 2); faces (F, 3).  Returns (zbuf (B, P), idx (B, P))."""

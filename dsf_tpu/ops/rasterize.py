@@ -381,10 +381,42 @@ USE_PALLAS_RASTER = False   # measured on v5e: isolated scan 11.2ms vs
                             # scan's 213.2 (2026-08-17) — kept for
                             # future binned/culled variants
 
+# Skip-raster (pallas_raster.raster_pallas_skip): bbox-predicated
+# (16x16 pixel tile) x (64-face chunk) kernel, dense-exact zbuf.
+# Measured on v5e (B=64, 128^2, 1554f, chained harness, 2026-08-19):
+# dense scan 16.2ms; dense pallas 12.4 (1-D 512px tiles, density 0.42);
+# 2-D tile sweep: 16x16/fc64 8.9ms, 16x32/fc64 9.4, 16x32/fc128 11.0,
+# 32x32/fc64 11.3 -> 16x16/fc64 production (1.8x the scan).  zbuf is
+# bitwise-equal; winning-face ids differ on ~0.1% of pixels where two
+# faces tie to the exact same f32 depth (Mosaic's in-chunk argmin
+# breaks exact ties differently) — the hard-raster gradient at such
+# pixels is attributed to the coplanar-at-that-pixel twin face, an
+# equally valid blur=0 subgradient (pytorch3d makes its own arbitrary
+# choice there).
+USE_PALLAS_SKIP = True
+SKIP_BLOCK = (16, 16)
+SKIP_FC = 64
 
-def _raster_forward(tile_hw, proj, pix_uv, faces):
-    """Backend dispatch: binned XLA when the tile layout is known,
-    optionally the Pallas kernel on TPU, dense scan otherwise."""
+
+def _skip_eligible(layout_hw, faces):
+    if layout_hw is None or not USE_PALLAS_SKIP:
+        return False
+    H, W = layout_hw
+    bh, bw = SKIP_BLOCK
+    return (-(-faces.shape[0] // SKIP_FC) <= 31 and H % bh == 0
+            and W % bw == 0 and jax.default_backend() != "cpu")
+
+
+def _raster_forward(tile_hw, proj, pix_uv, faces, layout_hw=None):
+    """Backend dispatch: the Pallas skip-raster on TPU when the pixel
+    layout is known (layout_hw), the exact binned XLA path when
+    explicitly requested (tile_hw), dense scan otherwise."""
+    if layout_hw is None:
+        layout_hw = tile_hw
+    if _skip_eligible(layout_hw, faces):
+        from dsf_tpu.ops.pallas_raster import raster_pallas_skip
+        return raster_pallas_skip(proj, pix_uv, faces, fc=SKIP_FC,
+                                  tile_hw=layout_hw, block=SKIP_BLOCK)
     if tile_hw is not None:
         return _raster_binned(proj, pix_uv, faces, tile_hw)
     if USE_PALLAS_RASTER and jax.default_backend() != "cpu":
@@ -486,34 +518,41 @@ def _attach_bwd(res, g):
 _attach_raster_grad.defvjp(_attach_fwd, _attach_bwd)
 
 
-def _raster(tile_hw, proj, pix_uv, faces):
+def _raster(tile_hw, proj, pix_uv, faces, layout_hw=None):
     """Differentiable zbuf: stop-gradient argmin scan + attached hard
     gradient (see _attach_raster_grad)."""
     zbuf, idx = _raster_forward(tile_hw, jax.lax.stop_gradient(proj),
-                                jax.lax.stop_gradient(pix_uv), faces)
+                                jax.lax.stop_gradient(pix_uv), faces,
+                                layout_hw=layout_hw)
     return _attach_raster_grad(proj, pix_uv, zbuf, idx, faces)
 
 
 def rasterize_depth(verts, faces, pix_uv, paras, flip=1.0, return_idx=False,
-                    tile_hw=None):
+                    tile_hw=None, layout_hw=None):
     """Rasterize (B, V, 3) world-mm verts into depth at sample positions.
 
     pix_uv: (B, P, 2) or (P, 2) continuous full-frame pixel positions
     (see crop_pixel_rays / full_frame_pixel_rays).  tile_hw: (H, W) pixel
     layout of pix_uv (row-major), which enables the exact tile-binned
-    fast path.  Returns zbuf (B, P): depth in mm of the nearest face
-    along each ray, 0 where no face covers the pixel.  Differentiable
-    wrt ``verts`` with the hard (blur=0, fpp=1) gradient through the hit
-    face only.
+    fast path.  layout_hw: same layout information WITHOUT opting into
+    the binned path — on TPU it routes to the Pallas skip-raster, on
+    CPU the dense scan (the production renderer passes this).  Returns
+    zbuf (B, P): depth in mm of the nearest face along each ray, 0
+    where no face covers the pixel.  Differentiable wrt ``verts`` with
+    the hard (blur=0, fpp=1) gradient through the hit face only.
     """
     proj = project_verts(verts, paras, flip)
     if pix_uv.ndim == 2:
         pix_uv = jnp.broadcast_to(pix_uv, (verts.shape[0],) + pix_uv.shape)
     if return_idx:
+        if _skip_eligible(layout_hw, faces):
+            from dsf_tpu.ops.pallas_raster import raster_pallas_skip
+            return raster_pallas_skip(proj, pix_uv, faces, fc=SKIP_FC,
+                                      tile_hw=layout_hw, block=SKIP_BLOCK)
         if tile_hw is not None:
             return _raster_binned(proj, pix_uv, faces, tile_hw)
         return _raster_scan(proj, pix_uv, faces)
-    return _raster(tile_hw, proj, pix_uv, faces)
+    return _raster(tile_hw, proj, pix_uv, faces, layout_hw=layout_hw)
 
 
 # ---------------------------------------------------------------------------

@@ -57,13 +57,17 @@ class Renderer:
 def _raster_crop(r: Renderer, verts, M, stride=1):
     """Rasterize world-mm verts into the (crop/stride)^2 frame through M.
 
-    The dense scan is the measured champion at MANO scale (B=32, 128^2,
-    1554 faces: 8.9ms vs 9-22ms for every binned variant — see
-    ops/rasterize.py BIN notes), so tile binning stays off here.
-    stride > 1 rasters the nearest-downsample pixel subset directly
-    (bitwise-equal to raster-then-resize_nearest, see crop_pixel_rays)."""
+    Passing the pixel layout (tile_hw) lets the TPU backend use the
+    bbox-predicated Pallas skip-raster (1.8x the dense scan at MANO
+    scale, zbuf bitwise-equal — ops/rasterize.py skip notes); on CPU
+    and for huge face counts rasterize_depth falls back to the dense
+    scan / exact binned path.  stride > 1 rasters the
+    nearest-downsample pixel subset directly (bitwise-equal to
+    raster-then-resize_nearest, see crop_pixel_rays)."""
     rays = ras.crop_pixel_rays(M, r.crop_size, stride)
-    z = ras.rasterize_depth(verts, r.mano.faces, rays, r.paras, r.flip)
+    z = ras.rasterize_depth(verts, r.mano.faces, rays, r.paras, r.flip,
+                            tile_hw=(r.crop_size[1] // stride,
+                                     r.crop_size[0] // stride))
     return z.reshape(verts.shape[0], 1, r.crop_size[1] // stride,
                      r.crop_size[0] // stride)
 

@@ -155,7 +155,11 @@ def _run(cfg: Config, run_dir: str):
     train_ds, test_ds, synth_iter = _make_datasets(cfg)
     steps = (len(train_ds) // cfg.batch_size if train_ds is not None
              else 1000)
-    tr = Trainer(cfg, cfg.mano_model_path, steps_per_epoch=steps)
+    mesh = None
+    if cfg.n_fsdp > 1:
+        from dsf_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(n_fsdp=cfg.n_fsdp)
+    tr = Trainer(cfg, cfg.mano_model_path, steps_per_epoch=steps, mesh=mesh)
     state = tr.init_state()
 
     # TB writer (ref: train_render.py:229 SummaryWriter('runs/...'))

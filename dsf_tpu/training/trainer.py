@@ -182,9 +182,9 @@ class Trainer:
         state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                            batch_stats=batch_stats,
                            opt_state=self.tx.init(params))
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, pmesh.replicated_sharding(self.mesh)),
-            state)
+        # DP: everything replicated; DP x FSDP ('fsdp' mesh axis):
+        # params + optimizer moments sharded along 'fsdp' (ZeRO-3)
+        return pmesh.place_state(self.mesh, state)
 
     # ------------------------------------------------------------ steps
 
@@ -253,16 +253,33 @@ class Trainer:
         loss_fn = self._loss_fn(phase_name)
         tx = self.tx
 
+        mesh = self.mesh
+        fsdp = "fsdp" in getattr(mesh, "axis_names", ())
+
         def step(state: TrainState, key, batch):
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
             (loss, (new_model_state, metrics)), grads = grad_fn(
                 state.params, state.batch_stats, key, batch)
+            if fsdp:
+                # pin gradients to the parameter shardings so GSPMD
+                # reduce-scatters them instead of all-reducing to a
+                # replicated layout (ZeRO-3 backward)
+                grads = jax.tree_util.tree_map(
+                    lambda g: jax.lax.with_sharding_constraint(
+                        g, pmesh.NamedSharding(mesh, pmesh.param_spec(mesh, g))),
+                    grads)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             new_bs = new_model_state.get("batch_stats", state.batch_stats)
             metrics = dict(metrics, loss=loss)
-            return state.replace(step=state.step + 1, params=new_params,
-                                 batch_stats=new_bs, opt_state=new_opt), metrics
+            new_state = state.replace(step=state.step + 1, params=new_params,
+                                      batch_stats=new_bs, opt_state=new_opt)
+            if fsdp:
+                # keep the updated state on the FSDP layout across steps
+                new_state = jax.tree_util.tree_map(
+                    lambda x, s: jax.lax.with_sharding_constraint(x, s),
+                    new_state, pmesh.state_shardings(mesh, new_state))
+            return new_state, metrics
 
         jitted = jax.jit(step, donate_argnums=(0,))
         self._jit_cache[phase_name] = jitted

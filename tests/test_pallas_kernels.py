@@ -49,6 +49,65 @@ def test_raster_kernel_matches_scan(interpret_pallas):
     assert float((i1 == i2).mean()) > 0.999
 
 
+def test_skip_raster_matches_scan(interpret_pallas):
+    """Bbox-predicated skip kernel == dense scan, bitwise (zbuf AND idx):
+    the skip flags are conservative, loop order is chunk-major with the
+    same `<` update, so results are identical by construction."""
+    from dsf_tpu.ops import rasterize as R
+    from dsf_tpu.ops.pallas_raster import raster_pallas_skip
+    rng = np.random.RandomState(1)
+    B, V, F = 2, 80, 300
+    PARAS = (100.0, 100.0, 32.0, 32.0)
+    verts = jnp.asarray(
+        (rng.randn(B, V, 3) * 10 + [0, 0, 100]).astype(np.float32))
+    faces = jnp.asarray(_distinct_faces(rng, V, F))
+    pix = jnp.broadcast_to(R.full_frame_pixel_rays((64, 64)), (B, 4096, 2))
+    proj = R.project_verts(verts, PARAS)
+    z1, i1 = R._raster_scan(proj, pix, faces)
+    z2, i2 = raster_pallas_skip(proj, pix, faces, tile=512, fc=128)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_skip_raster_2d_tiles_matches_scan(interpret_pallas):
+    """tile_hw path: 2-D tile-major pixel blocks, untiled back to
+    row-major — zbuf must stay bitwise-equal to the dense scan."""
+    from dsf_tpu.ops import rasterize as R
+    from dsf_tpu.ops.pallas_raster import raster_pallas_skip
+    rng = np.random.RandomState(7)
+    B, V, F = 2, 80, 300
+    PARAS = (100.0, 100.0, 32.0, 32.0)
+    verts = jnp.asarray(
+        (rng.randn(B, V, 3) * 10 + [0, 0, 100]).astype(np.float32))
+    faces = jnp.asarray(_distinct_faces(rng, V, F))
+    pix = jnp.broadcast_to(R.full_frame_pixel_rays((64, 64)), (B, 4096, 2))
+    proj = R.project_verts(verts, PARAS)
+    z1, i1 = R._raster_scan(proj, pix, faces)
+    z2, i2 = raster_pallas_skip(proj, pix, faces, fc=64,
+                                tile_hw=(64, 64), block=(16, 16))
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_skip_raster_unaligned_pixels(interpret_pallas):
+    """P not a multiple of the tile: padded pixels must come back as
+    background and not disturb real ones."""
+    from dsf_tpu.ops import rasterize as R
+    from dsf_tpu.ops.pallas_raster import raster_pallas_skip
+    rng = np.random.RandomState(4)
+    B, V, F = 2, 40, 64
+    PARAS = (100.0, 100.0, 16.0, 16.0)
+    verts = jnp.asarray(
+        (rng.randn(B, V, 3) * 6 + [0, 0, 80]).astype(np.float32))
+    faces = jnp.asarray(_distinct_faces(rng, V, F))
+    pix = jnp.broadcast_to(R.full_frame_pixel_rays((30, 30)), (B, 900, 2))
+    proj = R.project_verts(verts, PARAS)
+    z1, i1 = R._raster_scan(proj, pix, faces)
+    z2, i2 = raster_pallas_skip(proj, pix, faces, tile=256, fc=64)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
 def test_face_moments_kernel_matches_einsum(interpret_pallas):
     """The Pallas moment kernel == the XLA chunked one-hot einsum that
     rasterize._attach_bwd uses on CPU (same contraction, same values)."""
