@@ -46,6 +46,9 @@ BATCH = int(os.environ.get("DSF_BENCH_BATCH", "32"))
 
 def main():
     os.environ.setdefault("DSF_COMPUTE_DTYPE", "bfloat16")
+    # persistent compile cache: repeat benches skip the multi-minute
+    # full-step compile (harmless if the backend ignores it)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dsf_jax_cache")
     import jax
     import jax.numpy as jnp
     from dsf_tpu import geometry as geo

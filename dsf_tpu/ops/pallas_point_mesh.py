@@ -44,6 +44,50 @@ _EPS = 1e-12
 MASK_W = 32          # one-hot width for the part table (<=31 parts)
 
 
+def _region_sqdist(fc, s1, s2, pa, pn, pp):
+    """Divide-free per-region squared distance given the three per-pair
+    dot products (s1 = ab.p, s2 = ac.p, pa = a.p), the plane dot
+    pn = n.p, the per-point squared norm pp = p.p, and the 27-row
+    per-face constant block ``fc`` (see _face_constants27).  Shared by
+    the dense and skip kernels — the math is the body documented on
+    _kernel."""
+    ab_a, ac_a = fc[12:13], fc[13:14]
+    ab_b, ac_b = fc[14:15], fc[15:16]
+    ab_c, ac_c = fc[16:17], fc[17:18]
+    aa, bb, cc = fc[18:19], fc[19:20], fc[20:21]
+    inv_abab, inv_acac, inv_bcbc = fc[21:22], fc[22:23], fc[23:24]
+    bc_b, n_a, inv_nn = fc[24:25], fc[25:26], fc[26:27]
+
+    d1 = s1 - ab_a
+    d2 = s2 - ac_a
+    d3 = s1 - ab_b
+    d4 = s2 - ac_b
+    d5 = s1 - ab_c
+    d6 = s2 - ac_c
+
+    vc = d1 * d4 - d3 * d2
+    vb = d5 * d2 - d1 * d6
+    va = d3 * d6 - d5 * d4
+
+    dA = pp - 2.0 * pa + aa
+    dB = pp - 2.0 * (pa + s1) + bb               # p.b = p.a + ab.p
+    dC = pp - 2.0 * (pa + s2) + cc
+    e_bc = (s2 - s1) - bc_b                      # bc.(p - b)
+
+    dpn = pn - n_a
+    d = dpn * dpn * inv_nn                       # face interior
+    d = jnp.where((va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0),
+                  dB - e_bc * e_bc * inv_bcbc, d)
+    d = jnp.where((vb <= 0) & (d2 >= 0) & (d6 <= 0),
+                  dA - d2 * d2 * inv_acac, d)
+    d = jnp.where((vc <= 0) & (d1 >= 0) & (d3 <= 0),
+                  dA - d1 * d1 * inv_abab, d)
+    d = jnp.where((d6 >= 0) & (d5 <= d6), dC, d)
+    d = jnp.where((d3 >= 0) & (d4 <= d3), dB, d)
+    d = jnp.where((d1 <= 0) & (d2 <= 0), dA, d)
+    return jnp.maximum(d, 0.0)
+
+
 def _kernel(masked, p_ref, fc_ref, oh_ref, pm_ref, dmin_ref, imin_ref):
     """Divide-free distance evaluation.
 
@@ -83,46 +127,13 @@ def _kernel(masked, p_ref, fc_ref, oh_ref, pm_ref, dmin_ref, imin_ref):
             abx, aby, abz = fc[3:4], fc[4:5], fc[5:6]
             acx, acy, acz = fc[6:7], fc[7:8], fc[8:9]
             nx, ny, nz = fc[9:10], fc[10:11], fc[11:12]
-            ab_a, ac_a = fc[12:13], fc[13:14]
-            ab_b, ac_b = fc[14:15], fc[15:16]
-            ab_c, ac_c = fc[16:17], fc[17:18]
-            aa, bb, cc = fc[18:19], fc[19:20], fc[20:21]
-            inv_abab, inv_acac, inv_bcbc = fc[21:22], fc[22:23], fc[23:24]
-            bc_b, n_a, inv_nn = fc[24:25], fc[25:26], fc[26:27]
 
             s1 = px * abx + py * aby + pz * abz          # ab . p
             s2 = px * acx + py * acy + pz * acz          # ac . p
             pa = px * ax + py * ay + pz * az             # a . p
             pn = px * nx + py * ny + pz * nz             # n . p
 
-            d1 = s1 - ab_a
-            d2 = s2 - ac_a
-            d3 = s1 - ab_b
-            d4 = s2 - ac_b
-            d5 = s1 - ab_c
-            d6 = s2 - ac_c
-
-            vc = d1 * d4 - d3 * d2
-            vb = d5 * d2 - d1 * d6
-            va = d3 * d6 - d5 * d4
-
-            dA = pp - 2.0 * pa + aa
-            dB = pp - 2.0 * (pa + s1) + bb               # p.b = p.a + ab.p
-            dC = pp - 2.0 * (pa + s2) + cc
-            e_bc = (s2 - s1) - bc_b                      # bc.(p - b)
-
-            dpn = pn - n_a
-            d = dpn * dpn * inv_nn                       # face interior
-            d = jnp.where((va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0),
-                          dB - e_bc * e_bc * inv_bcbc, d)
-            d = jnp.where((vb <= 0) & (d2 >= 0) & (d6 <= 0),
-                          dA - d2 * d2 * inv_acac, d)
-            d = jnp.where((vc <= 0) & (d1 >= 0) & (d3 <= 0),
-                          dA - d1 * d1 * inv_abab, d)
-            d = jnp.where((d6 >= 0) & (d5 <= d6), dC, d)
-            d = jnp.where((d3 >= 0) & (d4 <= d3), dB, d)
-            d = jnp.where((d1 <= 0) & (d2 <= 0), dA, d)
-            d = jnp.maximum(d, 0.0)
+            d = _region_sqdist(fc, s1, s2, pa, pn, pp)
             if masked:
                 allowed = jax.lax.dot_general(
                     oh, pm_ref[:, pl.ds(s, FACE_CHUNK)],
@@ -370,6 +381,197 @@ def argmin_faces_pallas(points, tris, part_mask=None, point_part=None):
                          memory_space=pltpu.VMEM),
         ),
     )(p4.astype(jnp.float32), fc.astype(jnp.float32), oh, pm)
+    dmin, imin = dmin[:, 0], imin[:, 0]
+    imin = jnp.clip(imin, 0, T - 1)
+    return dmin[:, :P], imin[:, :P]
+
+
+# ---------------------------------------------------------------------------
+# v2: MXU dot products + admissibility chunk-skip bitmask
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v2(masked, use_mxu, fc_n, flags_ref, p_ref, fc_ref, oh_ref,
+               pm_ref, dmin_ref, imin_ref):
+    """Skip-kernel body (the skip-raster pattern applied to ICP).
+
+    flags (B, NT) int32 in SMEM: bit ci of word [b, ti] says some point
+    in tile ti admits a face of chunk ci — clear bits are whole
+    (tile, chunk) blocks of provably-_INF pairs (every pair in them is
+    masked inadmissible), so skipping is exact.  With part-sorted faces
+    (argmin_faces_pallas_v2 permutes chunks one-ish part each) the
+    joint-cloud rows of the fused ICP skip ~2/3 of their chunks.
+
+    use_mxu: compute the four per-pair dot products (s1, s2, pa, pn) as
+    ONE (TILE, 4) x (4, 4*FC) MXU matmul instead of 12 VPU
+    broadcast-multiplies — the VPU is this kernel's critical resource,
+    the MXU is idle.  f32 via Precision.HIGHEST; distances are
+    re-evaluated exactly on the winning face outside, so ulp-level dot
+    differences only perturb near-tie argmins.
+    """
+    b = pl.program_id(0)
+    P = p_ref.shape[1]
+    Tp = fc_ref.shape[2]
+    n_pt = P // TILE
+    n_fc = Tp // fc_n
+
+    def pix_tile(ti, _):
+        sl = pl.ds(ti * TILE, TILE)
+        p4 = p_ref[0, sl, :]                     # (TILE, 4) [x y z p.p]
+        px, py, pz = p4[:, 0:1], p4[:, 1:2], p4[:, 2:3]
+        pp = p4[:, 3:4]
+        if masked:
+            oh = oh_ref[0, sl, :]                # (TILE, MASK_W)
+        word = flags_ref[b, ti]
+
+        def face_chunk(ci, carry):
+            def do(carry):
+                dmin, imin = carry
+                s = ci * fc_n
+                fc = fc_ref[0, :, pl.ds(s, fc_n)]        # (27, FC)
+                if use_mxu:
+                    w = jnp.concatenate(
+                        [fc[3:6], fc[6:9], fc[0:3], fc[9:12]], axis=1)
+                    w = jnp.concatenate(
+                        [w, jnp.zeros((1, 4 * fc_n), jnp.float32)], axis=0)
+                    dots = jax.lax.dot_general(
+                        p4, w, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # (TILE, 4FC)
+                    s1 = dots[:, 0:fc_n]
+                    s2 = dots[:, fc_n:2 * fc_n]
+                    pa = dots[:, 2 * fc_n:3 * fc_n]
+                    pn = dots[:, 3 * fc_n:4 * fc_n]
+                else:
+                    s1 = px * fc[3:4] + py * fc[4:5] + pz * fc[5:6]
+                    s2 = px * fc[6:7] + py * fc[7:8] + pz * fc[8:9]
+                    pa = px * fc[0:1] + py * fc[1:2] + pz * fc[2:3]
+                    pn = px * fc[9:10] + py * fc[10:11] + pz * fc[11:12]
+
+                d = _region_sqdist(fc, s1, s2, pa, pn, pp)
+                if masked:
+                    allowed = jax.lax.dot_general(
+                        oh, pm_ref[:, pl.ds(s, fc_n)],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    d = jnp.where(allowed > 0.5, d, _INF)
+
+                cmin = jnp.min(d, axis=1, keepdims=True)
+                carg = (jnp.argmin(d, axis=1)
+                        .reshape(-1, 1).astype(jnp.int32) + s)
+                better = cmin < dmin
+                return (jnp.where(better, cmin, dmin),
+                        jnp.where(better, carg, imin))
+
+            return jax.lax.cond((word >> ci) & 1 != 0, do,
+                                lambda c: c, carry)
+
+        d0 = jnp.full((TILE, 1), _INF, jnp.float32)
+        i0 = jnp.zeros((TILE, 1), jnp.int32)
+        dmin, imin = jax.lax.fori_loop(0, n_fc, face_chunk, (d0, i0))
+        dmin_ref[0, 0, sl] = dmin[:, 0]
+        imin_ref[0, 0, sl] = imin[:, 0]
+        return 0
+
+    jax.lax.fori_loop(0, n_pt, pix_tile, 0)
+
+
+def argmin_faces_pallas_v2(points, tris, part_mask=None, point_part=None,
+                           fc_n=FACE_CHUNK, use_mxu=True):
+    """v2 of argmin_faces_pallas: same exact results, less work.
+
+    1. The four per-pair dot products run on the (otherwise idle) MXU.
+    2. (point-tile x face-chunk) blocks where NO point in the tile
+       admits ANY face in the chunk are skipped via an SMEM bitmask —
+       pure admissibility, no geometry bounds (those were a measured
+       dead end: sphere radii at MANO chunk scale are too fat), so no
+       per-step bound math and the skip is trivially exact.
+
+    Pair callers with a part-sorted face order (point_face_distance
+    permutes `faces` statically when the mask is concrete) so chunks
+    hold one-ish part each and the bitmask actually clears bits; with
+    the reference's skinning-derived 15-part mask the fused-ICP joint
+    rows then skip ~2/3 of their chunks.
+    """
+    points = jax.lax.stop_gradient(points)
+    tris = jax.lax.stop_gradient(tris)
+    B, P, _ = points.shape
+    T = tris.shape[1]
+
+    pad_f = (-T) % fc_n
+    if pad_f:
+        far_tri = jnp.asarray(
+            [[1e4, 1e4, 1e4], [1e4 + 1, 1e4, 1e4], [1e4, 1e4 + 1, 1e4]],
+            tris.dtype)
+        tris = jnp.concatenate(
+            [tris, jnp.broadcast_to(far_tri, (B, pad_f, 3, 3))], axis=1)
+    fc = _face_constants27(tris)
+    Tp = fc.shape[2]
+    nc = Tp // fc_n
+    assert nc <= 31, (Tp, fc_n)
+
+    pp = jnp.sum(points * points, -1, keepdims=True)
+    p4 = jnp.concatenate([points, pp], axis=-1)          # (B, P, 4)
+    pad_p = (-P) % TILE
+    if pad_p:
+        p4 = jnp.pad(p4, ((0, 0), (0, pad_p), (0, 0)))
+    Pp = p4.shape[1]
+    NT = Pp // TILE
+
+    masked = part_mask is not None
+    if masked:
+        K = part_mask.shape[1]
+        assert K <= MASK_W - 1, f"at most {MASK_W - 1} parts supported"
+        ext = jnp.concatenate(
+            [part_mask.astype(jnp.float32),
+             jnp.zeros((T, MASK_W - K), jnp.float32)], axis=1)
+        pm = jnp.pad(ext, ((0, pad_f), (0, 0))).T        # (MASK_W, Tp)
+        ppart = jnp.where((point_part >= 0) & (point_part < K),
+                          point_part, K).astype(jnp.int32)
+        oh = jax.nn.one_hot(ppart, MASK_W, dtype=jnp.float32)
+        if pad_p:
+            oh = jnp.pad(oh, ((0, 0), (0, pad_p), (0, 0)))
+        # per-(tile, chunk) admissibility union -> int32 bitmask.
+        # pad points one-hot to zero (admit nothing), pad faces' pm
+        # columns are zero (admitted by nothing) — both conservative.
+        tile_u = oh.reshape(B, NT, TILE, MASK_W).max(2)   # (B, NT, MW)
+        chunk_u = pm.reshape(MASK_W, nc, fc_n).max(2).T   # (nc, MW)
+        need = jnp.einsum("btk,ck->btc", tile_u, chunk_u) > 0.5
+        flags = (need.astype(jnp.int32)
+                 << jnp.arange(nc, dtype=jnp.int32)[None, None]).sum(-1)
+    else:
+        pm = jnp.zeros((MASK_W, Tp), jnp.float32)
+        oh = jnp.zeros((B, 1, MASK_W), jnp.float32)
+        flags = jnp.full((B, NT), (1 << nc) - 1, jnp.int32)
+
+    oh_P = oh.shape[1]
+    kernel = functools.partial(_kernel_v2, masked, use_mxu, fc_n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Pp, 4), lambda bi, f: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 27, Tp), lambda bi, f: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, oh_P, MASK_W), lambda bi, f: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((MASK_W, Tp), lambda bi, f: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, Pp), lambda bi, f: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Pp), lambda bi, f: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    dmin, imin = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, 1, Pp), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, Pp), jnp.int32)),
+        grid_spec=grid_spec,
+    )(flags, p4.astype(jnp.float32), fc.astype(jnp.float32), oh, pm)
     dmin, imin = dmin[:, 0], imin[:, 0]
     imin = jnp.clip(imin, 0, T - 1)
     return dmin[:, :P], imin[:, :P]

@@ -21,6 +21,8 @@ meshLoss.py:266-269 — a known quirk that must be preserved).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -186,6 +188,30 @@ def _select_tris_bwd(res, g):
 _select_tris.defvjp(_select_tris_fwd, _select_tris_bwd)
 
 
+USE_V2_KERNEL = os.environ.get("DSF_ICP_KERNEL", "v1") == "v2"
+# v2 = MXU dot products + admissibility chunk-skip bitmask over
+# part-sorted faces (pallas_point_mesh.argmin_faces_pallas_v2).
+# Default stays v1 until v2 is measured on the real chip
+# (scripts/bench_icp.py) — flip this default with the measurement.
+
+
+def _static_part_perm(faces, part_mask):
+    """Static part-sorted face permutation, or None when the mask/faces
+    are traced (can't be sorted at trace time).  Sorting faces by their
+    first admissible part makes the v2 kernel's chunks one-ish part
+    each, which is what lets its admissibility bitmask clear bits.
+    Permuting `faces` (not tris) is free: the tris gather that follows
+    costs the same for any static row order."""
+    try:
+        m = np.asarray(part_mask)
+        f = np.asarray(faces)
+    except Exception:
+        return None, None
+    part_of_face = np.where(m.any(1), m.argmax(1), m.shape[1])
+    perm = np.argsort(part_of_face, kind="stable")
+    return f[perm], m[perm]
+
+
 USE_CULLED_KERNEL = False  # part-sorted + sphere-bound chunk culling.
 # MEASURED on v5e (2026-08-17, chained fused-ICP harness, B=32 step
 # shapes): culled 43.5ms vs baseline 31.4ms — outputs match exactly,
@@ -206,12 +232,17 @@ def point_face_distance(points, verts, faces, part_mask=None,
     the winning face only.  use_pallas: "auto" = Pallas kernel on
     non-CPU backends, XLA scan otherwise.
     """
+    if USE_V2_KERNEL and part_mask is not None:
+        f2, m2 = _static_part_perm(faces, part_mask)
+        if f2 is not None:
+            faces, part_mask = f2, m2
     tris = verts[:, faces]                     # (B, T, 3, 3)
     imin = None
     if use_pallas in ("auto", True) and jax.default_backend() != "cpu":
         try:
             from dsf_tpu.ops import pallas_point_mesh as PPM
-            fn = (PPM.argmin_faces_pallas_culled if USE_CULLED_KERNEL
+            fn = (PPM.argmin_faces_pallas_v2 if USE_V2_KERNEL
+                  else PPM.argmin_faces_pallas_culled if USE_CULLED_KERNEL
                   else PPM.argmin_faces_pallas)
             _, imin = fn(points, tris, part_mask, point_part)
         except Exception:

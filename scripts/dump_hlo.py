@@ -1,12 +1,13 @@
-"""Capture an xplane trace of the FinetuneStage train step on the TPU.
+"""Dump the compiled HLO of the FinetuneStage train step.
 
-Writes the trace under /tmp/dsf_trace/<ts>/ and prints the directory.
-Analyze with scripts/trace_report.py (kernel time breakdown).
+Writes <out>/step_hlo.txt (compiled, post-fusion names match xplane
+kernel names) so hot fusions from trace_report can be mapped to ops.
+
+Usage: python scripts/dump_hlo.py [outdir=/tmp/dsf_hlo]
 """
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -16,6 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     os.environ.setdefault("DSF_COMPUTE_DTYPE", "bfloat16")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dsf_jax_cache")
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/dsf_hlo"
+    os.makedirs(out, exist_ok=True)
+
     import jax
     import jax.numpy as jnp
     from dsf_tpu import geometry as geo
@@ -43,23 +47,15 @@ def main():
         "xyz_gt": jnp.asarray(rng.uniform(-1, 1, (B, 14, 3)).astype(np.float32)),
         "center": center, "M": M, "cube": cube,
     }
-
     key = jax.random.PRNGKey(0)
-    for _ in range(3):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, sub, batch)
-    jax.block_until_ready(metrics["loss"])
-
-    out = "/tmp/dsf_trace/%d" % int(time.time())
-    jax.profiler.start_trace(out)
-    for _ in range(int(os.environ.get("TRACE_ITERS", "3"))):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, sub, batch)
-    jax.block_until_ready(metrics["loss"])
-    jax.profiler.stop_trace()
-    print(out)
-    return 0
+    lowered = jax.jit(step).lower(state, key, batch)
+    compiled = lowered.compile()
+    txt = compiled.as_text()
+    path = os.path.join(out, "step_hlo.txt")
+    with open(path, "w") as f:
+        f.write(txt)
+    print(path, len(txt))
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

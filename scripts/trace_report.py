@@ -55,13 +55,19 @@ def main():
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "")
+        # module-level envelope rows (jit_<fn>(fingerprint) and bare
+        # per-launch module ids like "2") double-count their kernels
+        if name.startswith("jit_") or name.isdigit():
+            continue
         dur = float(e.get("dur", 0.0))  # microseconds
         per_kernel[name] += dur
         total += dur
 
+    iters = int(os.environ.get("TRACE_ITERS", "3"))
     rows = sorted(per_kernel.items(), key=lambda kv: -kv[1])
     print(f"device lanes: {[pid_names[p] for p in dev_pids]}")
-    print(f"total device time: {total/1e3:.2f} ms (all trace iters)")
+    print(f"total device time: {total/1e3:.2f} ms (all trace iters); "
+          f"{total/1e3/iters:.2f} ms/step at TRACE_ITERS={iters}")
     print(f"{'us':>12}  {'%':>5}  kernel")
     for name, dur in rows[:top_n]:
         print(f"{dur:12.0f}  {100*dur/max(total,1e-9):5.1f}  {name[:140]}")

@@ -230,6 +230,75 @@ def test_point_mesh_culled_masked_matches_scan(interpret_pallas):
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("use_mxu", [True, False])
+def test_point_mesh_v2_matches_scan(interpret_pallas, use_mxu):
+    """v2 (MXU dots + admissibility chunk-skip bitmask) == XLA scan,
+    masked and unmasked, including non-multiple-of-chunk face counts."""
+    from dsf_tpu.ops import point_mesh as pm
+    from dsf_tpu.ops.pallas_point_mesh import argmin_faces_pallas_v2
+    rng = np.random.RandomState(5)
+    B, V, F, P = 2, 60, 200, 1024
+    verts = jnp.asarray(rng.randn(B, V, 3).astype(np.float32))
+    faces = jnp.asarray(_distinct_faces(rng, V, F))
+    pts = jnp.asarray((rng.randn(B, P, 3) * 1.5).astype(np.float32))
+    tris = verts[:, faces]
+    d1, _ = pm._argmin_faces(pts, tris)
+    d2, i2 = argmin_faces_pallas_v2(pts, tris, use_mxu=use_mxu)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-3, atol=1e-4)
+    win = jnp.take_along_axis(tris, i2[..., None, None].astype(jnp.int32), 1)
+    d_win = pm.point_tri_sqdist(pts, win)
+    np.testing.assert_allclose(np.asarray(d_win), np.asarray(d1),
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("use_mxu", [True, False])
+def test_point_mesh_v2_masked_matches_scan(interpret_pallas, use_mxu):
+    from dsf_tpu.ops import point_mesh as pm
+    from dsf_tpu.ops.pallas_point_mesh import argmin_faces_pallas_v2
+    rng = np.random.RandomState(6)
+    B, V, F, P = 2, 40, 160, 1024
+    verts = jnp.asarray(rng.randn(B, V, 3).astype(np.float32))
+    faces = jnp.asarray(_distinct_faces(rng, V, F))
+    pts = jnp.asarray((rng.randn(B, P, 3)).astype(np.float32))
+    tris = verts[:, faces]
+    # 16-col table like the fused ICP (col 15 admits everything)
+    mask = np.asarray(rng.rand(F, 15) > 0.6)
+    mask = np.concatenate([mask, np.ones((F, 1), bool)], axis=1)
+    ppart = jnp.asarray(rng.randint(-1, 16, (B, P)).astype(np.int32))
+    d1, _ = pm._argmin_faces(pts, tris, jnp.asarray(mask), ppart)
+    d2, _ = argmin_faces_pallas_v2(pts, tris, jnp.asarray(mask), ppart,
+                                   use_mxu=use_mxu)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_point_mesh_v2_part_sorted_faces(interpret_pallas):
+    """The production path: point_face_distance's static part
+    permutation + v2 kernel must equal the unpermuted XLA scan."""
+    from dsf_tpu.ops import point_mesh as pm
+    rng = np.random.RandomState(7)
+    B, V, F, P = 2, 40, 160, 1024
+    verts = jnp.asarray(rng.randn(B, V, 3).astype(np.float32))
+    faces = _distinct_faces(rng, V, F)
+    pts = jnp.asarray((rng.randn(B, P, 3)).astype(np.float32))
+    mask = rng.rand(F, 15) > 0.6
+    ppart = jnp.asarray(rng.randint(-1, 15, (B, P)).astype(np.int32))
+    f2, m2 = pm._static_part_perm(faces, mask)
+    assert f2.shape == faces.shape and m2.shape == mask.shape
+    d_ref = pm.point_face_distance(pts, verts, jnp.asarray(faces),
+                                   jnp.asarray(mask), ppart,
+                                   use_pallas=False)
+    from dsf_tpu.ops.pallas_point_mesh import argmin_faces_pallas_v2
+    tris2 = verts[:, jnp.asarray(f2)]
+    _, imin = argmin_faces_pallas_v2(pts, tris2, jnp.asarray(m2), ppart)
+    win = jnp.take_along_axis(tris2,
+                              imin[..., None, None].astype(jnp.int32), 1)
+    d_v2 = pm.point_tri_sqdist(pts, win)
+    np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_v2),
+                               rtol=1e-3, atol=1e-4)
+
+
 @pytest.fixture()
 def interpret_codec(monkeypatch):
     orig = pl.pallas_call
