@@ -391,8 +391,8 @@ def argmin_faces_pallas(points, tris, part_mask=None, point_part=None):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_v2(masked, use_mxu, fc_n, flags_ref, p_ref, fc_ref, oh_ref,
-               pm_ref, dmin_ref, imin_ref):
+def _kernel_v2(masked, use_mxu, fc_n, tile_n, flags_ref, p_ref, fc_ref,
+               wm_ref, oh_ref, pm_ref, dmin_ref, imin_ref):
     """Skip-kernel body (the skip-raster pattern applied to ICP).
 
     flags (B, NT) int32 in SMEM: bit ci of word [b, ti] says some point
@@ -412,11 +412,11 @@ def _kernel_v2(masked, use_mxu, fc_n, flags_ref, p_ref, fc_ref, oh_ref,
     b = pl.program_id(0)
     P = p_ref.shape[1]
     Tp = fc_ref.shape[2]
-    n_pt = P // TILE
+    n_pt = P // tile_n
     n_fc = Tp // fc_n
 
     def pix_tile(ti, _):
-        sl = pl.ds(ti * TILE, TILE)
+        sl = pl.ds(ti * tile_n, tile_n)
         p4 = p_ref[0, sl, :]                     # (TILE, 4) [x y z p.p]
         px, py, pz = p4[:, 0:1], p4[:, 1:2], p4[:, 2:3]
         pp = p4[:, 3:4]
@@ -430,10 +430,10 @@ def _kernel_v2(masked, use_mxu, fc_n, flags_ref, p_ref, fc_ref, oh_ref,
                 s = ci * fc_n
                 fc = fc_ref[0, :, pl.ds(s, fc_n)]        # (27, FC)
                 if use_mxu:
-                    w = jnp.concatenate(
-                        [fc[3:6], fc[6:9], fc[0:3], fc[9:12]], axis=1)
-                    w = jnp.concatenate(
-                        [w, jnp.zeros((1, 4 * fc_n), jnp.float32)], axis=0)
+                    # (4, 4FC) [xyz0-row x (ab|ac|a|n)-field] block,
+                    # pre-assembled in XLA (Mosaic can't concat slices
+                    # with mismatched non-concat offsets in-kernel)
+                    w = wm_ref[0, :, pl.ds(4 * s, 4 * fc_n)]
                     dots = jax.lax.dot_general(
                         p4, w, (((1,), (0,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
@@ -466,8 +466,8 @@ def _kernel_v2(masked, use_mxu, fc_n, flags_ref, p_ref, fc_ref, oh_ref,
             return jax.lax.cond((word >> ci) & 1 != 0, do,
                                 lambda c: c, carry)
 
-        d0 = jnp.full((TILE, 1), _INF, jnp.float32)
-        i0 = jnp.zeros((TILE, 1), jnp.int32)
+        d0 = jnp.full((tile_n, 1), _INF, jnp.float32)
+        i0 = jnp.zeros((tile_n, 1), jnp.int32)
         dmin, imin = jax.lax.fori_loop(0, n_fc, face_chunk, (d0, i0))
         dmin_ref[0, 0, sl] = dmin[:, 0]
         imin_ref[0, 0, sl] = imin[:, 0]
@@ -477,22 +477,36 @@ def _kernel_v2(masked, use_mxu, fc_n, flags_ref, p_ref, fc_ref, oh_ref,
 
 
 def argmin_faces_pallas_v2(points, tris, part_mask=None, point_part=None,
-                           fc_n=FACE_CHUNK, use_mxu=True):
-    """v2 of argmin_faces_pallas: same exact results, less work.
+                           fc_n=FACE_CHUNK, tile_n=TILE, use_mxu=False):
+    """v2 of argmin_faces_pallas: same exact results, less work tried.
 
-    1. The four per-pair dot products run on the (otherwise idle) MXU.
+    1. use_mxu: the four per-pair dot products run on the (otherwise
+       idle) MXU as one (TILE,4)x(4,4FC) matmul.
     2. (point-tile x face-chunk) blocks where NO point in the tile
        admits ANY face in the chunk are skipped via an SMEM bitmask —
        pure admissibility, no geometry bounds (those were a measured
        dead end: sphere radii at MANO chunk scale are too fat), so no
        per-step bound math and the skip is trivially exact.
 
-    Pair callers with a part-sorted face order (point_face_distance
-    permutes `faces` statically when the mask is concrete) so chunks
-    hold one-ish part each and the bitmask actually clears bits; with
-    the reference's skinning-derived 15-part mask the fused-ICP joint
-    rows then skip ~2/3 of their chunks.
+    MEASURED on v5e (2026-08-19, interleaved chained harness,
+    scripts/bench_icp.py, fused-ICP step shapes 2B=64/P=2048/T=1554,
+    15-part mask): v1 dense 7.49 ms; v2 skip 8.25-8.80 ms across
+    tile/chunk configs; v2 with points ALSO part-sorted (tile-coherent
+    unions, the skip's best case) 7.60 ms at 256/128 — a tie with v1 at
+    best.  Half the fused rows admit every face (full-cloud ICP) so at
+    most ~0.45 of the work is skippable, and the per-(tile,chunk)
+    lax.cond + SMEM flag reads eat exactly that margin at MANO's 13
+    chunks.  The earlier non-interleaved 9.33-vs-11.89 reading was
+    tunnel/host noise.  KEPT OFF (point_mesh.USE_V2_KERNEL) — v1 dense
+    stays the production kernel; this stays for denser meshes where
+    chunks outnumber parts.  The MXU dot variant loses on top of that
+    (HIGHEST-precision f32 dots cost 3 MXU passes): 11.89 ms.
     """
+    # the kernel slices the face table's lane axis at offsets ci*fc_n;
+    # Mosaic requires provably 128-aligned lane offsets (fc_n=64 fails
+    # to compile with "cannot statically prove ... multiple of 128")
+    assert fc_n % 128 == 0, fc_n
+    assert tile_n % 8 == 0, tile_n
     points = jax.lax.stop_gradient(points)
     tris = jax.lax.stop_gradient(tris)
     B, P, _ = points.shape
@@ -510,13 +524,24 @@ def argmin_faces_pallas_v2(points, tris, part_mask=None, point_part=None,
     nc = Tp // fc_n
     assert nc <= 31, (Tp, fc_n)
 
+    # (B, 4, 4*Tp) MXU coefficient matrix: per chunk, columns are the
+    # [ab | ac | a | n] field blocks; rows are (x, y, z, 0) so the
+    # kernel can contract the stored (TILE, 4) [x y z p.p] point block
+    # against it directly (the zero row kills the p.p column)
+    fields = jnp.stack([fc[:, 3:6], fc[:, 6:9], fc[:, 0:3], fc[:, 9:12]],
+                       axis=1)                           # (B, 4f, 3, Tp)
+    fields = jnp.concatenate(
+        [fields, jnp.zeros((B, 4, 1, Tp), fc.dtype)], axis=2)
+    wmat = (fields.reshape(B, 4, 4, nc, fc_n)
+            .transpose(0, 2, 3, 1, 4).reshape(B, 4, 4 * Tp))
+
     pp = jnp.sum(points * points, -1, keepdims=True)
     p4 = jnp.concatenate([points, pp], axis=-1)          # (B, P, 4)
-    pad_p = (-P) % TILE
+    pad_p = (-P) % tile_n
     if pad_p:
         p4 = jnp.pad(p4, ((0, 0), (0, pad_p), (0, 0)))
     Pp = p4.shape[1]
-    NT = Pp // TILE
+    NT = Pp // tile_n
 
     masked = part_mask is not None
     if masked:
@@ -534,7 +559,7 @@ def argmin_faces_pallas_v2(points, tris, part_mask=None, point_part=None,
         # per-(tile, chunk) admissibility union -> int32 bitmask.
         # pad points one-hot to zero (admit nothing), pad faces' pm
         # columns are zero (admitted by nothing) — both conservative.
-        tile_u = oh.reshape(B, NT, TILE, MASK_W).max(2)   # (B, NT, MW)
+        tile_u = oh.reshape(B, NT, tile_n, MASK_W).max(2)   # (B, NT, MW)
         chunk_u = pm.reshape(MASK_W, nc, fc_n).max(2).T   # (nc, MW)
         need = jnp.einsum("btk,ck->btc", tile_u, chunk_u) > 0.5
         flags = (need.astype(jnp.int32)
@@ -545,7 +570,7 @@ def argmin_faces_pallas_v2(points, tris, part_mask=None, point_part=None,
         flags = jnp.full((B, NT), (1 << nc) - 1, jnp.int32)
 
     oh_P = oh.shape[1]
-    kernel = functools.partial(_kernel_v2, masked, use_mxu, fc_n)
+    kernel = functools.partial(_kernel_v2, masked, use_mxu, fc_n, tile_n)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
@@ -553,6 +578,8 @@ def argmin_faces_pallas_v2(points, tris, part_mask=None, point_part=None,
             pl.BlockSpec((1, Pp, 4), lambda bi, f: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 27, Tp), lambda bi, f: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 4 * Tp), lambda bi, f: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, oh_P, MASK_W), lambda bi, f: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -571,7 +598,8 @@ def argmin_faces_pallas_v2(points, tris, part_mask=None, point_part=None,
         out_shape=(jax.ShapeDtypeStruct((B, 1, Pp), jnp.float32),
                    jax.ShapeDtypeStruct((B, 1, Pp), jnp.int32)),
         grid_spec=grid_spec,
-    )(flags, p4.astype(jnp.float32), fc.astype(jnp.float32), oh, pm)
+    )(flags, p4.astype(jnp.float32), fc.astype(jnp.float32),
+      wmat.astype(jnp.float32), oh, pm)
     dmin, imin = dmin[:, 0], imin[:, 0]
     imin = jnp.clip(imin, 0, T - 1)
     return dmin[:, :P], imin[:, :P]

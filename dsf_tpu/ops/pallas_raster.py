@@ -221,8 +221,8 @@ SKIP_TILE = 512      # pixels per tile (lane axis, 4 crop rows at 128^2)
 SKIP_FC = 128        # faces per chunk (sublane axis)
 
 
-def _kernel_skip_impl(tile, fc, flags_ref, pix_ref, ke_ref,
-                      zbuf_ref, idx_ref, bc_ref, zscr, iscr):
+def _kernel_skip_impl(tile, fc, use_mxu, flags_ref, pix_ref, ke_ref,
+                      wm_ref, zbuf_ref, idx_ref, bc_ref, zscr, iscr):
     """Skip-raster kernel body.
 
     flags (B, NT) int32 in SMEM: bit ci of word [b, ti] says chunk ci's
@@ -248,9 +248,15 @@ def _kernel_skip_impl(tile, fc, flags_ref, pix_ref, ke_ref,
 
     def chunk(ci, _):
         s = ci * fc
-        rows = ke_ref[0, pl.ds(s, fc), :]              # (fc, 16)
-        for i in range(12):
-            bc_ref[i] = jnp.broadcast_to(rows[:, i:i + 1], (fc, tile))
+        if use_mxu:
+            # (4, 4fc) [uvc0-row x (e0|e1|e2|z)-field] coefficient
+            # block, pre-assembled in XLA (Mosaic can't concat slices
+            # with mismatched non-concat offsets in-kernel)
+            w = wm_ref[0, :, pl.ds(4 * s, 4 * fc)]
+        else:
+            rows = ke_ref[0, pl.ds(s, fc), :]          # (fc, 16)
+            for i in range(12):
+                bc_ref[i] = jnp.broadcast_to(rows[:, i:i + 1], (fc, tile))
 
         def tloop(ti, _):
             bit = (flags_ref[b, ti] >> ci) & 1
@@ -260,10 +266,23 @@ def _kernel_skip_impl(tile, fc, flags_ref, pix_ref, ke_ref,
                 sl = pl.ds(ti * tile, tile)
                 u = pix_ref[0, 0:1, sl]                # (1, tile)
                 v = pix_ref[0, 1:2, sl]
-                e0 = bc_ref[0] * u + bc_ref[1] * v + bc_ref[2]
-                e1 = bc_ref[3] * u + bc_ref[4] * v + bc_ref[5]
-                e2 = bc_ref[6] * u + bc_ref[7] * v + bc_ref[8]
-                z = bc_ref[9] * u + bc_ref[10] * v + bc_ref[11]
+                if use_mxu:
+                    # pix rows are [u, v, 1, 0]; contract the shared
+                    # sublane-4 axis: (4, 4fc)^T . (4, tile)
+                    pq = pix_ref[0, :, sl]             # (4, tile)
+                    ez = jax.lax.dot_general(
+                        w, pq, (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # (4fc, tile)
+                    e0 = ez[0:fc]
+                    e1 = ez[fc:2 * fc]
+                    e2 = ez[2 * fc:3 * fc]
+                    z = ez[3 * fc:4 * fc]
+                else:
+                    e0 = bc_ref[0] * u + bc_ref[1] * v + bc_ref[2]
+                    e1 = bc_ref[3] * u + bc_ref[4] * v + bc_ref[5]
+                    e2 = bc_ref[6] * u + bc_ref[7] * v + bc_ref[8]
+                    z = bc_ref[9] * u + bc_ref[10] * v + bc_ref[11]
                 hit = (e0 >= 0) & (e1 >= 0) & (e2 >= 0) & (z > 0)
                 z = jnp.where(hit, z, _INF)
                 cmin = jnp.min(z, axis=0, keepdims=True)
@@ -301,7 +320,7 @@ def _untile_major(x, H, W, bh, bw):
 
 
 def raster_pallas_skip(proj, pix_uv, faces, tile=SKIP_TILE, fc=SKIP_FC,
-                       tile_hw=None, block=(16, 32)):
+                       tile_hw=None, block=(16, 32), use_mxu=False):
     """Skip-raster: dense-exact zbuf/idx, with (pixel-tile x face-chunk)
     blocks skipped when the chunk's projected bbox misses the tile's.
 
@@ -378,14 +397,33 @@ def raster_pallas_skip(proj, pix_uv, faces, tile=SKIP_TILE, fc=SKIP_FC,
              << jnp.arange(nc, dtype=jnp.int32)[None, None]).sum(-1)
 
     pix_t = pix_uv.transpose(0, 2, 1)                  # (B, 2, Pp)
+    # rows [u, v, 1, 0]: the MXU path contracts these against the
+    # (a, b, c, 0) coefficient rows; the VPU path reads rows 0:1 / 1:2
+    pix_t = jnp.concatenate(
+        [pix_t, jnp.ones((B, 1, Pp), jnp.float32),
+         jnp.zeros((B, 1, Pp), jnp.float32)], axis=1)  # (B, 4, Pp)
+    if use_mxu:
+        nc = Fp // fc
+        fields = jnp.stack(
+            [ke[..., 0:3], ke[..., 3:6], ke[..., 6:9], ke[..., 9:12]],
+            axis=1).transpose(0, 1, 3, 2)              # (B, 4f, 3, Fp)
+        fields = jnp.concatenate(
+            [fields, jnp.zeros((B, 4, 1, Fp), jnp.float32)], axis=2)
+        wmat = (fields.reshape(B, 4, 4, nc, fc)
+                .transpose(0, 2, 3, 1, 4).reshape(B, 4, 4 * Fp))
+    else:
+        wmat = jnp.zeros((B, 4, 4 * fc), jnp.float32)  # token
+    WN = wmat.shape[2]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 2, Pp), lambda bi, f: (bi, 0, 0),
+            pl.BlockSpec((1, 4, Pp), lambda bi, f: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Fp, 16), lambda bi, f: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, WN), lambda bi, f: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -395,17 +433,20 @@ def raster_pallas_skip(proj, pix_uv, faces, tile=SKIP_TILE, fc=SKIP_FC,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((12, fc, tile), jnp.float32),
+            # broadcast scratch only used by the VPU path; keep a token
+            # row in MXU mode so the kernel arity stays fixed
+            pltpu.VMEM((12, fc, tile) if not use_mxu else (1, 8, 128),
+                       jnp.float32),
             pltpu.VMEM((1, Pp), jnp.float32),
             pltpu.VMEM((1, Pp), jnp.int32),
         ],
     )
     zbuf, idx = pl.pallas_call(
-        functools.partial(_kernel_skip_impl, tile, fc),
+        functools.partial(_kernel_skip_impl, tile, fc, use_mxu),
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((B, 1, Pp), jnp.float32),
                    jax.ShapeDtypeStruct((B, 1, Pp), jnp.int32)),
-    )(flags, pix_t.astype(jnp.float32), ke)
+    )(flags, pix_t.astype(jnp.float32), ke, wmat)
     zbuf, idx = zbuf[:, 0, :P], idx[:, 0, :P]
     idx = jnp.where(idx >= F, -1, idx)
     if retile is not None:

@@ -191,8 +191,10 @@ _select_tris.defvjp(_select_tris_fwd, _select_tris_bwd)
 USE_V2_KERNEL = os.environ.get("DSF_ICP_KERNEL", "v1") == "v2"
 # v2 = MXU dot products + admissibility chunk-skip bitmask over
 # part-sorted faces (pallas_point_mesh.argmin_faces_pallas_v2).
-# Default stays v1 until v2 is measured on the real chip
-# (scripts/bench_icp.py) — flip this default with the measurement.
+# MEASURED on v5e (scripts/bench_icp.py, interleaved repeats): v1 dense
+# 7.49 ms vs v2 8.25+ (7.60 with points also part-sorted — a tie at
+# best; rationale in the v2 docstring).  v1 stays the default; v2
+# remains for meshes where chunks outnumber parts.
 
 
 def _static_part_perm(faces, part_mask):

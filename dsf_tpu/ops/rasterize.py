@@ -25,6 +25,8 @@ face chunks so the (pixels x faces) tensor is never materialized.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -396,6 +398,14 @@ USE_PALLAS_RASTER = False   # measured on v5e: isolated scan 11.2ms vs
 USE_PALLAS_SKIP = True
 SKIP_BLOCK = (16, 16)
 SKIP_FC = 64
+# DSF_RASTER_MXU=1: evaluate the four edge/depth fields as one in-VMEM
+# MXU matmul per (chunk, tile) instead of 8 VPU broadcast-FMAs.  Changes
+# edge-pixel coverage by ulps (HIGHEST-precision MXU f32 vs VPU FMA), so
+# zbuf is no longer bitwise-equal to the scan.  MEASURED on v5e
+# (scripts/bench_raster.py, 2B=64/128^2/1554 faces, interleaved): MXU
+# 66-82 ms vs VPU 17 ms — a 4x LOSS (contraction depth 4 wastes the
+# 128-deep systolic array; HIGHEST f32 costs 3 passes on top).  OFF.
+SKIP_USE_MXU = os.environ.get("DSF_RASTER_MXU", "0") == "1"
 
 
 def _skip_eligible(layout_hw, faces):
@@ -416,7 +426,8 @@ def _raster_forward(tile_hw, proj, pix_uv, faces, layout_hw=None):
     if _skip_eligible(layout_hw, faces):
         from dsf_tpu.ops.pallas_raster import raster_pallas_skip
         return raster_pallas_skip(proj, pix_uv, faces, fc=SKIP_FC,
-                                  tile_hw=layout_hw, block=SKIP_BLOCK)
+                                  tile_hw=layout_hw, block=SKIP_BLOCK,
+                                  use_mxu=SKIP_USE_MXU)
     if tile_hw is not None:
         return _raster_binned(proj, pix_uv, faces, tile_hw)
     if USE_PALLAS_RASTER and jax.default_backend() != "cpu":
@@ -548,7 +559,8 @@ def rasterize_depth(verts, faces, pix_uv, paras, flip=1.0, return_idx=False,
         if _skip_eligible(layout_hw, faces):
             from dsf_tpu.ops.pallas_raster import raster_pallas_skip
             return raster_pallas_skip(proj, pix_uv, faces, fc=SKIP_FC,
-                                      tile_hw=layout_hw, block=SKIP_BLOCK)
+                                      tile_hw=layout_hw, block=SKIP_BLOCK,
+                                      use_mxu=SKIP_USE_MXU)
         if tile_hw is not None:
             return _raster_binned(proj, pix_uv, faces, tile_hw)
         return _raster_scan(proj, pix_uv, faces)

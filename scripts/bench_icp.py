@@ -72,28 +72,56 @@ def main():
     tris = verts[:, faces]
     tris2 = verts[:, jnp.asarray(f2)]
 
+    def v2(fc_n, tile_n, use_mxu=False):
+        return lambda p, t, m, q: PPM.argmin_faces_pallas_v2(
+            p, tris2, jnp.asarray(m2), q, fc_n=fc_n, tile_n=tile_n,
+            use_mxu=use_mxu)
+
+    # point-sorted variant: order each joint row's points by part so
+    # tiles are part-coherent and the tile-union bitmask can clear.
+    # (Random-part tiles admit every chunk — the skip never fires.)
+    psort = np.argsort(np.asarray(ppart), axis=1, kind="stable")
+    pts_s = jnp.take_along_axis(pts, jnp.asarray(psort)[..., None], 1)
+    ppart_s = jnp.take_along_axis(jnp.asarray(ppart),
+                                  jnp.asarray(psort), 1)
+
+    def v2s(fc_n, tile_n):
+        return lambda p, t, m, q: PPM.argmin_faces_pallas_v2(
+            pts_s, tris2, jnp.asarray(m2), ppart_s, fc_n=fc_n,
+            tile_n=tile_n)
+
+    # fc_n must be a multiple of 128: the kernel slices the face table's
+    # lane axis at offsets ci*fc_n and Mosaic requires provable 128-
+    # alignment (fc_n=64 fails to compile).
     cfgs = [
         ("v1 dense", lambda p, t, m, q: PPM.argmin_faces_pallas(p, tris, m, q)),
-        ("v2 mxu+skip", lambda p, t, m, q: PPM.argmin_faces_pallas_v2(
-            p, tris2, jnp.asarray(m2), q)),
-        ("v2 skip only", lambda p, t, m, q: PPM.argmin_faces_pallas_v2(
-            p, tris2, jnp.asarray(m2), q, use_mxu=False)),
-        ("v2 mxu only (unsorted)", lambda p, t, m, q:
-            PPM.argmin_faces_pallas_v2(p, tris, m, q)),
-        ("v2 mxu+skip fc64", lambda p, t, m, q: PPM.argmin_faces_pallas_v2(
-            p, tris2, jnp.asarray(m2), q, fc_n=64)),
+        ("v2 skip 512/128", v2(128, 512)),
+        ("v2 skip 256/128", v2(128, 256)),
+        ("v2 sorted 512/128", v2s(128, 512)),
+        ("v2 sorted 256/128", v2s(128, 256)),
+        ("v2 sorted 128/128", v2s(128, 128)),
     ]
+    inv = np.argsort(psort, axis=1, kind="stable")
     ref_d = None
     for name, fn in cfgs:
         d, _ = fn(pts, None, jnp.asarray(table), ppart)
         d = np.asarray(d)
+        if "sorted" in name:          # undo the point permutation
+            d = np.take_along_axis(d, inv, axis=1)
         if ref_d is None:
             ref_d = d
         else:
             err = np.abs(d - ref_d).max()
             assert err < 1e-4, (name, err)
-        ms = bench(fn, pts, None, table, ppart, iters)
-        print(f"{name:26s} {ms:7.2f} ms")
+    # interleaved repeats: tunnel/host noise hits every config equally
+    times = {name: [] for name, _ in cfgs}
+    for _rep in range(3):
+        for name, fn in cfgs:
+            times[name].append(bench(fn, pts, None, table, ppart, iters))
+    for name, _ in cfgs:
+        ts = times[name]
+        print(f"{name:26s} min {min(ts):7.2f} ms   all "
+              + " ".join(f"{t:.2f}" for t in ts))
 
 
 if __name__ == "__main__":

@@ -89,6 +89,29 @@ def test_skip_raster_2d_tiles_matches_scan(interpret_pallas):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+def test_skip_raster_mxu_matches_scan(interpret_pallas):
+    """use_mxu path (edge/depth fields via one in-VMEM matmul): the dot
+    reassociates the u*a + v*b + c reduction, so edge-pixel coverage and
+    depths may differ by ulps from the scan — compare at that floor."""
+    from dsf_tpu.ops import rasterize as R
+    from dsf_tpu.ops.pallas_raster import raster_pallas_skip
+    rng = np.random.RandomState(8)
+    B, V, F = 2, 80, 300
+    PARAS = (100.0, 100.0, 32.0, 32.0)
+    verts = jnp.asarray(
+        (rng.randn(B, V, 3) * 10 + [0, 0, 100]).astype(np.float32))
+    faces = jnp.asarray(_distinct_faces(rng, V, F))
+    pix = jnp.broadcast_to(R.full_frame_pixel_rays((64, 64)), (B, 4096, 2))
+    proj = R.project_verts(verts, PARAS)
+    z1, i1 = R._raster_scan(proj, pix, faces)
+    z2, i2 = raster_pallas_skip(proj, pix, faces, fc=64,
+                                tile_hw=(64, 64), block=(16, 16),
+                                use_mxu=True)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2),
+                               rtol=1e-5, atol=1e-3)
+    assert float((np.asarray(i1) == np.asarray(i2)).mean()) > 0.99
+
+
 def test_skip_raster_unaligned_pixels(interpret_pallas):
     """P not a multiple of the tile: padded pixels must come back as
     background and not disturb real ones."""
