@@ -95,6 +95,13 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     fps = BATCH / dt
 
+    # Anchor-free utilization figure (VERDICT r4): exact MXU work from
+    # the traced jaxpr (dsf_tpu/training/flops.py), achieved TFLOP/s
+    # over the v5e bf16 peak.  Tracing is seconds; no compile.
+    from dsf_tpu.training import flops as F
+    fl = F.mxu_flops(step, state, key, batch)
+    mfu = F.mfu(fl["tflops"], dt)
+
     # vs_baseline is only meaningful at the reference's own batch size;
     # a DSF_BENCH_BATCH sweep run reports null there so a B!=32 number
     # can never masquerade as the parity configuration (ADVICE r3).
@@ -103,6 +110,9 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/sec",
         "batch": BATCH,
+        "step_ms": round(dt * 1e3, 1),
+        "tflop_per_step": round(fl["tflops"], 2),
+        "mfu": round(mfu, 3),
         "vs_baseline": round(fps / A100_REFERENCE_FPS, 3) if BATCH == 32 else None,
     }))
 
