@@ -83,6 +83,9 @@ class Config:
                                           # an 'fsdp' mesh axis (ZeRO-3 via
                                           # GSPMD; parallel/mesh.py)
     compute_dtype: str = "float32"        # 'float32' | 'bfloat16'
+    cache_depths: bool = True             # RAM-cache decoded train depth
+                                          # frames (uint16; bounded to half
+                                          # of available RAM in loop.py)
     seed: int = 0
 
     @property

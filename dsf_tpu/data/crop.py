@@ -72,9 +72,14 @@ def com_to_transform(com, size, dsize, paras):
 def _resize_nearest(img, size_wh):
     if _HAS_CV2:
         return cv2.resize(img, size_wh, interpolation=cv2.INTER_NEAREST)
+    # cv2 resizeNN floors dst * (1.0/((double)dst/src)) — the reciprocal's
+    # double rounding shifts exact-integer products (e.g. 64*(186/128))
+    # below the integer; replicated here and in native/dsf_host.cpp
     w, h = size_wh
-    ys = (np.arange(h) * img.shape[0] / h).astype(int)
-    xs = (np.arange(w) * img.shape[1] / w).astype(int)
+    ys = np.minimum((np.arange(h) * (1.0 / (h / img.shape[0]))).astype(int),
+                    img.shape[0] - 1)
+    xs = np.minimum((np.arange(w) * (1.0 / (w / img.shape[1]))).astype(int),
+                    img.shape[1] - 1)
     return img[ys[:, None], xs[None, :]]
 
 
@@ -127,6 +132,32 @@ def crop_image_deep_pp(depth, com, size, dsize, paras):
     off[0, 2] = xs
     off[1, 2] = ys
     return ret, off @ scale @ trans
+
+
+def crop_matrix_deep_pp(com, size, dsize, paras):
+    """The 3x3 matrix ``crop_image_deep_pp`` returns, computed WITHOUT
+    the image (the bounds/scale/offset math is deterministic in
+    com/size/dsize).  Bitwise-identical to the full function's M; the
+    batched augmented fetch path uses it so warp matrices compose in
+    float64 while the crop pixels come from the native C++ path."""
+    xstart, xend, ystart, yend, _, _ = com_to_bounds(com, size, paras)
+    wb, hb = xend - xstart, yend - ystart
+    if wb > hb:
+        sz = (dsize[0], int(hb * dsize[0] / wb))
+    else:
+        sz = (int(wb * dsize[1] / hb), dsize[1])
+    trans = np.eye(3)
+    trans[0, 2] = -xstart
+    trans[1, 2] = -ystart
+    if hb > wb:
+        scale = np.eye(3) * sz[1] / float(hb)
+    else:
+        scale = np.eye(3) * sz[0] / float(wb)
+    scale[2, 2] = 1
+    off = np.eye(3)
+    off[0, 2] = int(np.floor(dsize[0] / 2.0 - sz[0] / 2.0))
+    off[1, 2] = int(np.floor(dsize[1] / 2.0 - sz[1] / 2.0))
+    return off @ scale @ trans
 
 
 def normalize_img(premax, imgD, com, cube):

@@ -66,7 +66,52 @@ class BaseDataset:
             rng = tl.rng = np.random.RandomState(seed)
         return rng
 
+    # ------------------------------------------------------------ caching
+
+    def enable_depth_cache(self, max_bytes=None):
+        """Cache decoded full-frame depths in RAM (uint16 when lossless,
+        else float32).  PNG decode measures ~4.2 ms/frame on this box —
+        88% of the augmented item cost — so epochs after the first run
+        at crop+augment speed.  The reference re-decodes every epoch
+        (its Dataset __getitem__ reads the PNG each time,
+        render_loader.py:1850-1860); TPU hosts carry enough RAM that
+        decode-once is the right production default (NYU train: ~45 GB
+        as uint16).  ``max_bytes`` bounds the cache; entries past the
+        bound fall through to decode."""
+        self._depth_cache = {}
+        self._depth_cache_bytes = 0
+        self._depth_cache_max = max_bytes
+
+    def _read_depth_cached(self, index):
+        cache = getattr(self, "_depth_cache", None)
+        if cache is None:
+            return self._read_depth(index)
+        hit = cache.get(index)
+        if hit is not None:
+            return hit.astype(np.float32)
+        d = self._read_depth(index)
+        if (self._depth_cache_max is None
+                or self._depth_cache_bytes < self._depth_cache_max):
+            u16 = d.astype(np.uint16)
+            store = u16 if np.array_equal(u16, d) else d
+            cache[index] = store
+            self._depth_cache_bytes += store.nbytes
+        return d
+
     # ------------------------------------------------------------ batching
+
+    def _aug_fast_batch(self, idx, depths, joints_xyz, centers, cubes64):
+        """Augmented-batch fast path shared by the dataset loaders: raw
+        crop in native C++, the exact cv2 warps of augment_crop, fused
+        threshold+normalize in C++, vectorized label math
+        (data/aug_batch.py; parity vs the per-sample path pinned in
+        tests/test_aug_batch_parity.py)."""
+        from dsf_tpu.data import aug_batch
+        draws = aug_batch.draw_params(self.rng, len(idx), self.aug_para)
+        return aug_batch.augment_fast_batch(
+            depths, joints_xyz[idx], centers, cubes64.astype(np.float64),
+            self.paras, self.flip, self.img_size, draws,
+            nthreads=self.NUM_WORKERS)
 
     def _eval_fast_batch(self, idx, depths, joints_xyz, centers, cubes):
         """Unaugmented batch fast path shared by the dataset loaders:
@@ -224,24 +269,30 @@ class NYUDataset(BaseDataset):
         return readers.nyu_reader(img_path)
 
     def _fetch_batch(self, idx):
-        """Batch fast path: PNG decode fans out over the worker pool and
-        the crop+normalize runs in the threaded C++ library
-        (native/dsf_host.cpp:batch_crop_normalize, parity-tested in
-        tests/test_misc_parity.py).  Label math is vectorized numpy.
-        Augmented (train) fetches keep the per-sample cv2 path."""
-        from dsf_tpu.data import native
+        """Batch fast path: PNG decode fans out over the worker pool
+        (RAM-cached after first touch when enable_depth_cache is on),
+        crop+normalize runs in the threaded C++ library
+        (native/dsf_host.cpp, parity-tested in tests/test_misc_parity.py
+        and tests/test_aug_batch_parity.py), label math is vectorized
+        numpy.  Augmented (train) fetches route through the batched
+        augment pipeline (data/aug_batch.py)."""
+        from dsf_tpu.data import aug_batch, native
         # subclasses that extend __getitem__ (CCSSL weights, ST model
         # params) must go through it — the fast path only serves classes
         # whose items are exactly the base batch dict
-        if (self.augment or not native.available()
-                or type(self).__getitem__ is not NYUDataset.__getitem__):
+        if (not native.available()
+                or type(self).__getitem__ is not NYUDataset.__getitem__
+                or (self.augment and not aug_batch.available())):
             return super()._fetch_batch(idx)
         idx = np.asarray(idx)
-        depths = np.stack(list(self._worker_pool().map(self._read_depth,
-                                                       idx)))
+        depths = np.stack(list(self._worker_pool().map(
+            self._read_depth_cached, idx)))
         cubes = (self.test_cubesize[idx] if self.phase == "test"
                  else np.tile(self.cube_size, (len(idx), 1))).astype(
                      np.float32)
+        if self.augment:
+            return self._aug_fast_batch(idx, depths, self.all_joints_xyz,
+                                        self.center_xyz[idx], cubes)
         return self._eval_fast_batch(idx, depths, self.all_joints_xyz,
                                      self.center_xyz[idx], cubes)
 
@@ -413,17 +464,22 @@ class ICVLDataset(BaseDataset):
         return depth[:, ::-1].copy()                # LR flip (ref :2331-2341)
 
     def _fetch_batch(self, idx):
-        """Eval-batch fast path (same contract as NYUDataset's): decode
-        fans out over the worker pool, crop+normalize+labels run in the
-        shared vectorized/native path."""
-        from dsf_tpu.data import native
-        if (self.phase == "train" or not native.available()
-                or type(self).__getitem__ is not ICVLDataset.__getitem__):
+        """Batch fast path (same contract as NYUDataset's): decode fans
+        out over the worker pool, crop/augment/normalize/labels run in
+        the shared vectorized/native paths."""
+        from dsf_tpu.data import aug_batch, native
+        train = self.phase == "train"
+        if (not native.available()
+                or type(self).__getitem__ is not ICVLDataset.__getitem__
+                or (train and not aug_batch.available())):
             return super()._fetch_batch(idx)
         idx = np.asarray(idx)
-        depths = np.stack(list(self._worker_pool().map(self._read_depth,
-                                                       idx)))
+        depths = np.stack(list(self._worker_pool().map(
+            self._read_depth_cached, idx)))
         cubes = np.tile(self.cube_size.astype(np.float32), (len(idx), 1))
+        if train:
+            return self._aug_fast_batch(idx, depths, self.all_joints_xyz,
+                                        self.center_xyz[idx], cubes)
         return self._eval_fast_batch(idx, depths, self.all_joints_xyz,
                                      self.center_xyz[idx], cubes)
 
@@ -557,16 +613,21 @@ class MSRADataset(BaseDataset):
         return readers.msra_reader(self.files[index], self.paras)[0]
 
     def _fetch_batch(self, idx):
-        """Eval-batch fast path (same contract as NYUDataset's), with
-        the per-person cube table applied per frame."""
-        from dsf_tpu.data import native
-        if (self.phase == "train" or not native.available()
-                or type(self).__getitem__ is not MSRADataset.__getitem__):
+        """Batch fast path (same contract as NYUDataset's), with the
+        per-person cube table applied per frame."""
+        from dsf_tpu.data import aug_batch, native
+        train = self.phase == "train"
+        if (not native.available()
+                or type(self).__getitem__ is not MSRADataset.__getitem__
+                or (train and not aug_batch.available())):
             return super()._fetch_batch(idx)
         idx = np.asarray(idx)
-        depths = np.stack(list(self._worker_pool().map(self._read_depth,
-                                                       idx)))
+        depths = np.stack(list(self._worker_pool().map(
+            self._read_depth_cached, idx)))
         cubes = np.repeat(self.cubes[idx][:, None], 3, axis=1)
+        if train:
+            return self._aug_fast_batch(idx, depths, self.joints_xyz,
+                                        self.center_xyz[idx], cubes)
         return self._eval_fast_batch(idx, depths, self.joints_xyz,
                                      self.center_xyz[idx], cubes)
 

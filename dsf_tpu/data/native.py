@@ -42,6 +42,13 @@ def load():
     lib.batch_crop_normalize.argtypes = [
         f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, f32p, f32p,
         ctypes.c_int, f32p, f32p, ctypes.c_int]
+    lib.batch_crop_raw.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, f32p, f32p,
+        ctypes.c_int, f32p, f32p, ctypes.c_int]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.batch_finish_aug.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, u8p, f32p, f64p, f32p, f32p,
+        f64p, ctypes.c_int]
     lib.nyu_unpack.argtypes = [u8p, ctypes.c_int, ctypes.c_int, f32p]
     _LIB = lib
     return lib
@@ -77,6 +84,42 @@ def batch_crop_normalize(depths, coms, cubes, paras, dsize, nthreads=4):
         np.ascontiguousarray(paras, np.float32),
         dsize, out_imgs, out_Ms, nthreads)
     return out_imgs, out_Ms
+
+
+def batch_crop_raw(depths, coms, cubes, paras, dsize, nthreads=4):
+    """Crop WITHOUT normalization (the augmented train path warps the
+    raw-depth crop before normalizing)."""
+    lib = load()
+    depths = np.ascontiguousarray(depths, np.float32)
+    B, H, W = depths.shape
+    out_imgs = np.empty((B, dsize, dsize), np.float32)
+    out_Ms = np.empty((B, 3, 3), np.float32)
+    lib.batch_crop_raw(
+        depths, B, H, W,
+        np.ascontiguousarray(coms, np.float32),
+        np.ascontiguousarray(cubes, np.float32),
+        np.ascontiguousarray(paras, np.float32),
+        dsize, out_imgs, out_Ms, nthreads)
+    return out_imgs, out_Ms
+
+
+def batch_finish_aug(imgs, flags, floors, zwins, premaxes, com_zs, cube_zs,
+                     nthreads=4):
+    """In-place post-warp floor/z-window thresholds + depth
+    normalization over a (B, S, S) stack."""
+    lib = load()
+    assert imgs.dtype == np.float32 and imgs.flags.c_contiguous
+    B = imgs.shape[0]
+    n = imgs.shape[1] * imgs.shape[2]
+    lib.batch_finish_aug(
+        imgs, B, n,
+        np.ascontiguousarray(flags, np.uint8),
+        np.ascontiguousarray(floors, np.float32),
+        np.ascontiguousarray(zwins, np.float64),
+        np.ascontiguousarray(premaxes, np.float32),
+        np.ascontiguousarray(com_zs, np.float32),
+        np.ascontiguousarray(cube_zs, np.float64), nthreads)
+    return imgs
 
 
 def nyu_unpack(bgr):

@@ -50,6 +50,18 @@ def _make_datasets(cfg: Config):
                                  cube_size=cfg.cube_size)
         train_ds = test_ds
 
+    if train_ds is not None and cfg.cache_depths:
+        # decode-once RAM cache (uint16 when lossless): PNG decode is
+        # ~88% of the augmented item cost on this host, so epochs after
+        # the first run at crop+augment speed (~5x; measured in
+        # docs/PERFORMANCE.md).  Bounded to half of currently-available
+        # RAM so eval loaders and the device runtime keep headroom.
+        try:
+            avail = os.sysconf("SC_AVPHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        except (ValueError, OSError):                 # pragma: no cover
+            avail = 16 << 30
+        train_ds.enable_depth_cache(max_bytes=avail // 2)
+
     synth_root = os.path.join(cfg.root_dir, "hands20")
     if os.path.isdir(os.path.join(synth_root, "posePara_lm_collosion")):
         synth = ModelParaDataset(synth_root, "hands",

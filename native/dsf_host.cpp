@@ -73,13 +73,19 @@ void crop_deep_pp(const float* depth, int H, int W,
   if (ch > cw) scale = (float)szh / (float)ch;
   else scale = (float)szw / (float)cw;
 
-  // nearest resize (cv2.INTER_NEAREST: src = floor(dst * src/dst))
+  // nearest resize (cv2 resizeNN): src = floor(dst * ifx) with
+  // ifx = 1.0/((double)dst/src) — cv2 inverts its forward scale, and
+  // that double rounding matters: at 186->128, 64*(186.0/128) == 93
+  // exactly but 64*(1/(128.0/186)) == 92.9999... -> index 92.  Both the
+  // ratio AND the reciprocal must be double (f32 index math flips
+  // floors too; caught by tests/test_aug_batch_parity.py).
+  const double ify = 1.0 / ((double)szh / ch), ifx = 1.0 / ((double)szw / cw);
   std::vector<float> rz((size_t)szh * szw, 0.f);
   for (int r = 0; r < szh; ++r) {
-    int sr = (int)((float)r * ch / szh);
+    int sr = (int)((double)r * ify);
     if (sr >= ch) sr = ch - 1;
     for (int c = 0; c < szw; ++c) {
-      int sc = (int)((float)c * cw / szw);
+      int sc = (int)((double)c * ifx);
       if (sc >= cw) sc = cw - 1;
       rz[(size_t)r * szw + c] = cropped[(size_t)sr * cw + sc];
     }
@@ -171,6 +177,98 @@ void batch_crop_normalize(const float* depths, int B, int H, int W,
         premax = std::max(premax, img[k]);
       normalize_depth(img, dsize * dsize, premax, coms[3 * b + 2],
                       cubes[3 * b + 2]);
+    }
+  };
+  if (nthreads <= 1) { worker(); return; }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; ++t) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+}
+
+// ---------------------------------------------------------------------
+// batch_crop_raw: crop WITHOUT normalization — the augmented train path
+// warps the raw-depth crop first (rot/com/sc modes) and normalizes only
+// at the end (dsf_tpu/data/crop.py::augment_crop ordering).
+// ---------------------------------------------------------------------
+void batch_crop_raw(const float* depths, int B, int H, int W,
+                    const float* coms,      // (B, 3)
+                    const float* cubes,     // (B, 3)
+                    const float* paras, int dsize,
+                    float* out_imgs,        // (B, dsize, dsize)
+                    float* out_Ms,          // (B, 3, 3)
+                    int nthreads) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int b = next.fetch_add(1);
+      if (b >= B) return;
+      crop_deep_pp(depths + (size_t)b * H * W, H, W, coms + 3 * b,
+                   cubes + 3 * b, paras, dsize,
+                   out_imgs + (size_t)b * dsize * dsize, out_Ms + 9 * b);
+    }
+  };
+  if (nthreads <= 1) { worker(); return; }
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; ++t) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+}
+
+// ---------------------------------------------------------------------
+// batch_finish_aug: post-warp floor threshold + z-window + normalize,
+// one pass per sample (the tails of rotateHand/recropHand/normalize_img
+// fused; dsf_tpu/data/crop.py:163-221, 132-140).  flags bit0 = apply
+// floor (x < floor_val -> 0), bit1 = apply z-window ((x<zstart, x!=0)
+// -> zstart; (x>zend, x!=0) -> 0).
+// ---------------------------------------------------------------------
+// Precision contract (bit-exact vs the numpy per-sample path): the
+// python code compares f32 pixels against f64 thresholds (numpy
+// upcasts), stores f64 values into the f32 image, subtracts the f32
+// com_z in f32, and divides by the f64 half-cube in f64 — this routine
+// mirrors each of those cast points exactly
+// (tests/test_aug_batch_parity.py asserts array_equal on images).
+void batch_finish_aug(float* imgs, int B, int n,
+                      const unsigned char* flags,  // (B,)
+                      const float* floors,         // (B,) f32 like nv_val
+                      const double* zwins,         // (B, 2) f64 zstart/zend
+                      const float* premaxes,       // (B,)
+                      const float* com_zs,         // (B,) f32 like com[2]
+                      const double* cube_zs,       // (B,) f64 like cube[2]
+                      int nthreads) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int b = next.fetch_add(1);
+      if (b >= B) return;
+      float* img = imgs + (size_t)b * n;
+      if (flags[b] & 1) {
+        const float fl = floors[b];
+        for (int k = 0; k < n; ++k)
+          if (img[k] < fl) img[k] = 0.f;
+      }
+      if (flags[b] & 2) {
+        const double zs = zwins[2 * b], ze = zwins[2 * b + 1];
+        const float zs_store = (float)zs;
+        for (int k = 0; k < n; ++k) {
+          const float d = img[k];
+          if (d != 0.f && (double)d < zs) img[k] = zs_store;
+          else if (d != 0.f && (double)d > ze) img[k] = 0.f;
+        }
+      }
+      const float premax = premaxes[b];
+      const float com_z = com_zs[b];
+      const double cube_half = cube_zs[b] / 2.0;
+      const double far64 = (double)com_z + cube_half;
+      const double near64 = (double)com_z - cube_half;
+      const float far_store = (float)far64;
+      const float near_store = (float)near64;
+      for (int k = 0; k < n; ++k) {
+        float d = img[k];
+        if (d == premax || d == 0.f) d = far_store;
+        if ((double)d >= far64) d = far_store;
+        if ((double)d <= near64) d = near_store;
+        d = d - com_z;                       // numpy in-place f32 -=
+        img[k] = (float)((double)d / cube_half);
+      }
     }
   };
   if (nthreads <= 1) { worker(); return; }
