@@ -353,10 +353,15 @@ def raster_pallas_skip(proj, pix_uv, faces, tile=SKIP_TILE, fc=SKIP_FC,
     c = c.at[..., 0].set(jnp.where(valid, c[..., 0], -_INF))
 
     zero = jnp.zeros_like(az)
+    # stack quantity-major (each (B, F) row writes full 128-lane rows)
+    # then transpose once into the kernel's (B, F, 16) layout — stacking
+    # axis=2 directly emits a 16-way concat of (B, F, 1) slices that
+    # runs at ~14 GB/s (1 of 128 lanes; 0.9 ms/call in the r5 trace)
     ke = jnp.stack([a[..., 0], b[..., 0], c[..., 0],
                     a[..., 1], b[..., 1], c[..., 1],
                     a[..., 2], b[..., 2], c[..., 2],
-                    az, bz, cz, zero, zero, zero, zero], axis=2)
+                    az, bz, cz, zero, zero, zero, zero],
+                   axis=1).transpose(0, 2, 1)
     F = faces.shape[0]
     pad_f = (-F) % fc
     if pad_f:

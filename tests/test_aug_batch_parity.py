@@ -152,3 +152,61 @@ def test_nyu_train_fetch_routes_through_fast_path(tmp_path, monkeypatch):
     assert 0 in ds._depth_cache
     np.testing.assert_array_equal(d0, ds._read_depth_cached(0))
     np.testing.assert_array_equal(d0, ds._read_depth(0))
+
+
+def _spy_aug(monkeypatch):
+    called = {}
+    orig = D.BaseDataset._aug_fast_batch
+
+    def spy(self, *a, **kw):
+        called["yes"] = True
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(D.BaseDataset, "_aug_fast_batch", spy)
+    return called
+
+
+def test_icvl_train_fetch_routes_through_fast_path(tmp_path, monkeypatch):
+    from test_datasets_protocol import _write_icvl_png, _icvl_line
+
+    root = tmp_path / "icvl"
+    (root / "Depth").mkdir(parents=True)
+    # long (>6 char) sequence dir passes the subsequence protocol filter
+    names = [f"201403121135/image_{i:04d}.png" for i in range(1, 5)]
+    for i, nm in enumerate(names):
+        _write_icvl_png(str(root / "Depth" / nm), value=410 + 5 * i)
+    (root / "train.txt").write_text(
+        "\n".join(_icvl_line(nm, base=400.0) for nm in names) + "\n")
+    centers = np.tile([10.0, 5.0, 400.0], (len(names), 1))
+    np.savetxt(root / "center_train_refined.txt", centers, fmt="%.4f")
+
+    ds = D.ICVLDataset(str(root), "train", img_size=64)
+    called = _spy_aug(monkeypatch)
+    batch = ds._fetch_batch(np.arange(4))
+    assert called.get("yes")
+    assert batch["img"].shape == (4, 1, 64, 64)
+    assert np.isfinite(batch["img"]).all()
+
+
+def test_msra_train_fetch_routes_through_fast_path(tmp_path, monkeypatch):
+    from test_datasets_protocol import _write_msra_bin
+
+    root = tmp_path / "msra"
+    rng = np.random.RandomState(0)
+    joints = rng.uniform(-40, 40, (2, 21, 3)).astype(np.float32)
+    joints[:, :, 2] = -(400.0 + joints[:, :, 2])
+    for p in range(2):
+        gdir = root / f"P{p}" / "1"
+        for i in range(2):
+            _write_msra_bin(str(gdir / f"{i:06d}_depth.bin"), z=400.0 + i)
+        lines = [" ".join(f"{v:.4f}" for v in joints[i].ravel())
+                 for i in range(2)]
+        (gdir / "joint.txt").write_text("2\n" + "\n".join(lines) + "\n")
+
+    # train split = persons != test_persons -> P1
+    ds = D.MSRADataset(str(root), "train", test_persons=0, img_size=64)
+    called = _spy_aug(monkeypatch)
+    batch = ds._fetch_batch(np.arange(len(ds)))
+    assert called.get("yes")
+    assert batch["img"].shape == (len(ds), 1, 64, 64)
+    assert np.isfinite(batch["img"]).all()
