@@ -14,6 +14,7 @@ provided here for training-parity completeness.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax.numpy as jnp
@@ -49,6 +50,35 @@ class _ConvIN(nn.Module):
                        padding=((self.pad, self.pad),) * 2,
                        use_bias=self.use_bias, dtype=self.dtype,
                        name="conv")(x)
+
+
+class _FusedTail(nn.Module):
+    """The generator head (7x7 C->1 conv + bias + tanh) through the
+    taps-as-channels MXU + Pallas shift-sum op (ops/pallas_tapsum.py).
+
+    Declares the SAME param tree as `_ConvIN(name="head")` —
+    head/conv/{kernel, bias} with nn.Conv's default inits, so
+    checkpoints and the torch converter are layout-identical; the RNG
+    fold is by param path, so init values are bitwise-equal too.
+    """
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        class _P(nn.Module):
+            kernel: int
+            in_features: int
+
+            @nn.compact
+            def __call__(s):
+                k = s.param("kernel", nn.initializers.lecun_normal(),
+                            (s.kernel, s.kernel, s.in_features, 1))
+                b = s.param("bias", nn.initializers.zeros, (1,))
+                return k, b
+
+        k, b = _P(7, x.shape[-1], name="conv")()
+        from dsf_tpu.ops.pallas_tapsum import tail_conv_tanh
+        return tail_conv_tanh(x, k, b, self.dtype)
 
 
 class ResnetBlock(nn.Module):
@@ -98,6 +128,14 @@ class ResnetGenerator(nn.Module):
                               dtype=self.dtype, name=f"up{i}")(x)
             x = nn.relu(_instance_norm(y))
         x = _reflect_pad(x, 3)
+        if self.output_nc == 1 and os.environ.get("DSF_FUSED_TAIL",
+                                                  "0") == "1":
+            # C_out=1 head as MXU contraction + Pallas shift-sum
+            # (ops/pallas_tapsum.py; identical param tree).  Measured a
+            # WASH in-graph (10.06 vs 10.03 ms) — kept off; see the
+            # kernel docstring for the numbers.
+            return nhwc_to_nchw(_FusedTail(dtype=self.dtype,
+                                           name="head")(x))
         x = _ConvIN(self.output_nc, 7, dtype=self.dtype, name="head")(x)
         return nhwc_to_nchw(jnp.tanh(x))
 

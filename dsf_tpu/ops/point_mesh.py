@@ -152,6 +152,15 @@ def _argmin_faces(points, tris, part_mask=None, point_part=None):
 _SEL_CHUNK = 512
 
 
+_FWD_ONEHOT = os.environ.get("DSF_SELECT_FWD", "onehot") == "onehot"
+# The FORWARD gather lowers to a kCustom gather fusion that the round-5
+# trace measured at 2.22 ms / ~1% HBM ([128x2048] rows of 9 floats from
+# [128,1554,3,3] — TPU gathers are element-serial).  The same chunked
+# one-hot MXU contraction the backward already uses selects the rows
+# exactly (1.0/0.0 multiplies, zero additions) at matmul speed.
+# DSF_SELECT_FWD=gather restores the plain take_along_axis.
+
+
 @jax.custom_vjp
 def _select_tris(tris, imin):
     """Differentiable winning-triangle selection: (B, T, 3, 3) gathered
@@ -161,9 +170,25 @@ def _select_tris(tris, imin):
     gather/scatter: measured on v5e the (B,P)->(B,T,...) scatter-add in
     the gather's transpose costs ~8ms at these shapes while the one-hot
     einsum is ~1ms (HIGHEST precision; selection of one term is exact,
-    accumulation matches f32 summation order to ~2e-7)."""
-    return jnp.take_along_axis(
-        tris, imin[..., None, None].astype(jnp.int32), axis=1)
+    accumulation matches f32 summation order to ~2e-7).  The forward's
+    one-hot selection is exact up to -0.0 -> +0.0 (value-equal)."""
+    if not _FWD_ONEHOT:
+        return jnp.take_along_axis(
+            tris, imin[..., None, None].astype(jnp.int32), axis=1)
+    B, T = tris.shape[0], tris.shape[1]
+    P = imin.shape[1]
+    # coordinate index m (=9) in SUBLANES, points in LANES (->bmp): a
+    # ->bpm output puts m minor and XLA's dot lowering degrades the
+    # same way the raster moment einsum did (dilated conv, ~1% HBM)
+    tm_t = tris.reshape(B, T, 9).transpose(0, 2, 1)          # (B, 9, T)
+    out = jnp.zeros((B, 9, P), tris.dtype)
+    for c in range(0, T, _SEL_CHUNK):
+        width = min(_SEL_CHUNK, T - c)
+        onehot = (imin[:, :, None]
+                  == (c + jnp.arange(width))[None, None]).astype(tris.dtype)
+        out = out + jnp.einsum("bpt,bmt->bmp", onehot, tm_t[:, :, c:c + width],
+                               precision=jax.lax.Precision.HIGHEST)
+    return out.transpose(0, 2, 1).reshape(B, P, 3, 3)
 
 
 def _select_tris_fwd(tris, imin):
@@ -179,9 +204,11 @@ def _select_tris_bwd(res, g):
         width = min(_SEL_CHUNK, T - c)
         onehot = (imin[:, :, None]
                   == (c + jnp.arange(width))[None, None]).astype(g.dtype)
-        chunks.append(jnp.einsum("bpt,bpm->btm", onehot, gm,
+        # m (=9) in sublanes, faces in lanes (see forward)
+        chunks.append(jnp.einsum("bpt,bpm->bmt", onehot, gm,
                                  precision=jax.lax.Precision.HIGHEST))
-    d_tris = jnp.concatenate(chunks, axis=1).reshape(B, T, 3, 3)
+    d_tris = (jnp.concatenate(chunks, axis=2)
+              .transpose(0, 2, 1).reshape(B, T, 3, 3))
     return d_tris, np.zeros(imin.shape, dtype=jax.dtypes.float0)
 
 

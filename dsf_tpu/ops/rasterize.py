@@ -496,9 +496,15 @@ def _attach_bwd(res, g):
             width = min(512, T - c)
             onehot = (idx[:, :, None]
                       == (c + jnp.arange(width))[None, None]).astype(g.dtype)
-            chunks.append(jnp.einsum("bpc,bpm->bcm", onehot, upd,
+            # moment-index m (=3) goes in SUBLANES, faces in LANES:
+            # ->bcm puts m minor and XLA lowers the dot to a dilated
+            # conv over [B,P,1]-split operands at 2% HBM (3x ~1 ms in
+            # the round-5 trace); ->bmc is a plain MXU dot with ~37%
+            # result-tile utilization
+            chunks.append(jnp.einsum("bpc,bpm->bmc", onehot, upd,
                                      precision=jax.lax.Precision.HIGHEST))
-        mom = jnp.concatenate(chunks, axis=1)   # (B, T, 3): S1, Su, Sv
+        mom_t = jnp.concatenate(chunks, axis=2)  # (B, 3, T): S1, Su, Sv
+        mom = mom_t.transpose(0, 2, 1)           # (B, T, 3)
 
     def face_sum(p):
         tri = p[:, faces]

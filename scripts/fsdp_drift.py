@@ -120,28 +120,34 @@ def main():
               flush=True)
         return np.asarray(curve)                # (n_ckpts, 4)
 
-    a = run(1, 0, "DP_seed0")
-    b = run(1, 1, "DP_seed1")
-    f = run(2, 0, "FSDP_seed0")
-
-    drift = np.abs(f - a)
-    noise = np.abs(b - a)
-    bound = np.maximum(noise, NOISE_FLOOR)
-    ok = bool((drift <= bound).all())
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "fsdp_drift_r5.json")
     out = {
         "steps": STEPS, "eval_every": EVAL_EVERY,
         "metrics": ["pix_s1", "mano_s1", "pix_s2", "mano_s2"],
-        "dp_seed0": a.tolist(), "dp_seed1": b.tolist(),
-        "fsdp_seed0": f.tolist(),
-        "abs_drift_fsdp_vs_dp": drift.tolist(),
-        "abs_noise_dp_vs_dp": noise.tolist(),
         "noise_floor_mm": NOISE_FLOOR,
-        "ok": ok,
     }
-    path = os.path.join(os.path.dirname(__file__), "..", "docs",
-                        "fsdp_drift_r5.json")
-    with open(path, "w") as fp:
-        json.dump(out, fp, indent=1)
+
+    def dump():
+        with open(path, "w") as fp:
+            json.dump(out, fp, indent=1)
+
+    # critical pair (DP vs FSDP, same seed) FIRST so a wall-clock cut
+    # still yields the drift curve; partial results dump after each run
+    a = run(1, 0, "DP_seed0")
+    out["dp_seed0"] = a.tolist(); dump()
+    f = run(2, 0, "FSDP_seed0")
+    out["fsdp_seed0"] = f.tolist()
+    drift = np.abs(f - a)
+    out["abs_drift_fsdp_vs_dp"] = drift.tolist(); dump()
+    b = run(1, 1, "DP_seed1")
+    out["dp_seed1"] = b.tolist()
+    noise = np.abs(b - a)
+    bound = np.maximum(noise, NOISE_FLOOR)
+    ok = bool((drift <= bound).all())
+    out["abs_noise_dp_vs_dp"] = noise.tolist()
+    out["ok"] = ok
+    dump()
     print(json.dumps({"ok": ok, "max_drift": float(drift.max()),
                       "max_noise": float(noise.max())}), flush=True)
     return 0 if ok else 1

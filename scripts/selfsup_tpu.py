@@ -46,6 +46,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     os.environ.setdefault("DSF_COMPUTE_DTYPE", "bfloat16")
     K1 = int(os.environ.get("SELFSUP_PRETRAIN_STEPS", "1200"))
+    SEED = int(os.environ.get("SELFSUP_SEED", "0"))   # offsets init + all
+    # PRNG streams + data order; the fake-NYU set itself stays fixed
     K2 = int(os.environ.get("SELFSUP_STEPS", "600"))
     out_path = os.environ.get("SELFSUP_OUT", "/tmp/dsf_selfsup.json")
     data_root = os.environ.get("SELFSUP_DATA", "/tmp/dsf_fake_nyu_r4")
@@ -78,7 +80,7 @@ def main():
                             aug_para=cfg.augment_para)
     test_ds = D.NYUDataset(nyu_root, "test", view=0, img_size=128)
 
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(SEED)
 
     def synth_params():
         # the NARROW pretraining distribution (rot ±1 rad vs the real
@@ -112,9 +114,9 @@ def main():
                 x, pmesh.replicated_sharding(tr.mesh)), host_state)
 
     # ---- 2. pretrain K1 on the narrow synth distribution
-    state = tr.init_state()
+    state = tr.init_state(seed=SEED)
     pre_step = tr.train_step_fn("Pretrain")
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(SEED * 100)
     t0 = time.perf_counter()
     for i in range(K1):
         key, sub = jax.random.split(key)
@@ -131,7 +133,7 @@ def main():
     print(json.dumps({"eval": "pretrain", **e_pretrain}), flush=True)
 
     # ---- 4a. control: K2 MORE pretrain steps
-    k_ctrl = jax.random.PRNGKey(1)
+    k_ctrl = jax.random.PRNGKey(SEED * 100 + 1)
     for i in range(K2):
         k_ctrl, sub = jax.random.split(k_ctrl)
         state, metrics = pre_step(state, sub, synth_params())
@@ -142,9 +144,9 @@ def main():
     # ---- 4b. treatment: K2 FinetuneStage steps from the SAME base state
     state = restore(base)
     fin_step = tr.train_step_fn("FinetuneStage")
-    k_fin = jax.random.PRNGKey(1)
+    k_fin = jax.random.PRNGKey(SEED * 100 + 1)
     real_it = train_ds.prefetch_batches(B, shuffle=True, loop=True,
-                                        drop_last=True, seed=3)
+                                        drop_last=True, seed=SEED * 100 + 3)
     t0 = time.perf_counter()
     for i in range(K2):
         rb = next(real_it)
@@ -170,7 +172,7 @@ def main():
     ok = all(e_selfsup[k] < e_control[k] and e_selfsup[k] < e_pretrain[k]
              for k in ("pixel_mm_s2", "mano_mm_s2"))
     summary = {
-        "K1_pretrain": K1, "K2": K2,
+        "K1_pretrain": K1, "K2": K2, "seed": SEED,
         "pretrain_fps": round(K1 * B / t_pre, 1),
         "selfsup_fps": round(K2 * B / t_fin, 1),
         "e_pretrain": e_pretrain, "e_control": e_control,

@@ -43,6 +43,7 @@ QUICK_FILES = {
     "test_vis_tables.py", "test_seg_labelers.py", "test_codec_losses.py",
     "test_image_cloud_ops.py", "test_data_tools.py",
     "test_skeleton_export.py", "test_torch_import.py", "test_mano.py",
+    "test_tapsum.py",
 }
 
 

@@ -152,3 +152,56 @@ def test_flat_opt_is_numerically_identical(monkeypatch):
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=0, atol=1e-7), p0, p1)
+
+
+def test_opt_guard_select_matches_cond(monkeypatch):
+    """DSF_OPT_GUARD=select (where-fused finite guard) must match
+    optax.apply_if_finite's lax.cond on every path: finite updates,
+    rejected non-finite updates, and the give-up acceptance after
+    max_consecutive_errors.  Guard state is exactly equal; update
+    values are compared at the flat-opt test's 1e-7 bar (the cond
+    branch compiles as one XLA computation whose FMA fusion rounds
+    ~1 ulp differently from the inlined form)."""
+    from dsf_tpu.config import Config
+    from dsf_tpu.training.trainer import make_optimizer
+    import optax
+
+    cfg = Config(dataset="nyu")
+    rng = np.random.RandomState(1)
+    params = {
+        "w": jnp.asarray(rng.randn(4, 8), jnp.float32),
+        "b": jnp.asarray(rng.randn(8), jnp.float32),
+    }
+    good = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32), params)
+    bad = jax.tree_util.tree_map(
+        lambda g: g.at[(0,) * g.ndim].set(jnp.nan), good)
+
+    monkeypatch.setenv("DSF_OPT_GUARD", "cond")
+    tx_c = make_optimizer(cfg, 100)
+    monkeypatch.setenv("DSF_OPT_GUARD", "select")
+    tx_s = make_optimizer(cfg, 100)
+
+    pc, ps = params, params
+    sc, ss = tx_c.init(pc), tx_s.init(ps)
+    # finite, finite, 10x non-finite (crosses max_consecutive_errors=8
+    # -> the give-up path accepts the nan update in BOTH variants),
+    # then finite again
+    schedule = [good, good] + [bad] * 10 + [good]
+    for g in schedule:
+        uc, sc = tx_c.update(g, sc, pc)
+        us, ss = tx_s.update(g, ss, ps)
+        pc = optax.apply_updates(pc, uc)
+        ps = optax.apply_updates(ps, us)
+        assert int(sc.notfinite_count) == int(ss.notfinite_count)
+        assert bool(sc.last_finite) == bool(ss.last_finite)
+        assert int(sc.total_notfinite) == int(ss.total_notfinite)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-7), uc, us)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.isnan(np.asarray(a)), np.isnan(np.asarray(b))), uc, us)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-7), pc, ps)
