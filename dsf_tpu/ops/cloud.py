@@ -110,9 +110,10 @@ def img_to_pcl(key, img, center, M, cube, paras, img_size,
     # xyz index (=3) stays in sublanes, points in lanes (->bmp)
     onehot = (take[:, :, None]
               == jnp.arange(sample_num)[None, None]).astype(head_t.dtype)
-    pcl = jnp.einsum("bpq,bmq->bmp", onehot, head_t,
-                     precision=jax.lax.Precision.HIGHEST).transpose(0, 2, 1)
-    return jnp.where((n_valid > 0)[:, None, None], pcl, 0.0)
+    pcl_t = jnp.einsum("bpq,bmq->bmp", onehot, head_t,
+                       precision=jax.lax.Precision.HIGHEST)
+    pcl_t = jnp.where((n_valid > 0)[:, None, None], pcl_t, 0.0)
+    return pcl_t.transpose(0, 2, 1)
 
 
 def pcl_to_img(pcl_nl, feature_size, center, M, cube, paras, img_size, flip=1.0):

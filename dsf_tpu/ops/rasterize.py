@@ -475,7 +475,6 @@ def _attach_bwd(res, g):
     B, P = idx.shape
     hit = (idx >= 0).astype(g.dtype)
     gm = g * hit
-    upd = jnp.stack([gm, gm * pix_uv[..., 0], gm * pix_uv[..., 1]], axis=-1)
     T = faces.shape[0]
 
     # moments via one-hot matmul on the MXU (measured 11.8ms for
@@ -488,20 +487,25 @@ def _attach_bwd(res, g):
     # index masking.
     if USE_PALLAS_MOMENTS and jax.default_backend() != "cpu":
         from dsf_tpu.ops.pallas_raster import face_moments_pallas
+        upd = jnp.stack([gm, gm * pix_uv[..., 0], gm * pix_uv[..., 1]],
+                        axis=-1)
         mom = face_moments_pallas(idx, upd.astype(jnp.float32), T)
         mom = mom.astype(g.dtype)
     else:
+        # quantity-major (B, 3, P): a (B, P, 3) minor-axis stack gets
+        # re-split by XLA into [B,P,1] T(1,128) slabs whose reads run
+        # the fused one-hot dot at 2% HBM (round-5 trace, ~1.1 ms per
+        # chunk either output orientation)
+        upd_t = jnp.stack([gm, gm * pix_uv[..., 0], gm * pix_uv[..., 1]],
+                          axis=1)
         chunks = []
         for c in range(0, T, 512):
             width = min(512, T - c)
             onehot = (idx[:, :, None]
                       == (c + jnp.arange(width))[None, None]).astype(g.dtype)
-            # moment-index m (=3) goes in SUBLANES, faces in LANES:
-            # ->bcm puts m minor and XLA lowers the dot to a dilated
-            # conv over [B,P,1]-split operands at 2% HBM (3x ~1 ms in
-            # the round-5 trace); ->bmc is a plain MXU dot with ~37%
-            # result-tile utilization
-            chunks.append(jnp.einsum("bpc,bpm->bmc", onehot, upd,
+            # moment-index m (=3) in SUBLANES, faces in LANES: ->bcm
+            # puts m minor and XLA lowers the dot to a dilated conv
+            chunks.append(jnp.einsum("bpc,bmp->bmc", onehot, upd_t,
                                      precision=jax.lax.Precision.HIGHEST))
         mom_t = jnp.concatenate(chunks, axis=2)  # (B, 3, T): S1, Su, Sv
         mom = mom_t.transpose(0, 2, 1)           # (B, T, 3)
