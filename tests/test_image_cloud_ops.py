@@ -72,6 +72,55 @@ def test_img_to_pcl_empty_image_zeros():
     np.testing.assert_allclose(np.asarray(pcl), 0.0)
 
 
+def test_img_to_pcl_cosort_matches_topk_reference():
+    """The co-sorted sampling path (r5) must reproduce the original
+    top_k + double-gather formulation EXACTLY, including the wrap
+    regime (n_valid << sample_num -> modular repetition of the valid
+    prefix).  Both paths share the score construction; this pins the
+    stable co-sort + one-hot wrap-fill to the reference semantics."""
+    import jax.numpy as jnp
+    from dsf_tpu import geometry as geo2
+
+    B, S, N = 2, 64, 512
+    center = jnp.asarray([[0.0, 0.0, 750.0]] * B)
+    cube = jnp.full((B, 3), 250.0)
+    com = geo.xyz_to_uvd(center, NYU)
+    M = geo.crop_matrix(com, cube, NYU, (S, S))
+    img = jnp.ones((B, 1, S, S))
+    # sample 0: 37 foreground pixels (wrap regime, 37 << 512);
+    # sample 1: a large square (> 512 valid, truncation regime)
+    img = img.at[0, :, 10:11, 5:42].set(0.3)
+    img = img.at[1, :, 8:56, 8:56].set(0.5)
+
+    for key in (None, jax.random.PRNGKey(3)):
+        got = cloud.img_to_pcl(key, img, center, M, cube, NYU, S, N, S)
+
+        # reference formulation (pre-r5 code path, verbatim semantics)
+        img_rs = cloud.resize_nearest(img, (S, S))
+        uvd = cloud.uvd_image_grid(img_rs, S).reshape(B, 3, -1)
+        uvd = uvd.transpose(0, 2, 1)
+        valid = (img_rs <= 0.99).reshape(B, -1)
+        xyz = geo2.uvd_nl_to_xyz_nl(uvd, center, M, cube, NYU, S, 1.0)
+        if key is None:
+            p = valid.shape[-1]
+            score = jnp.broadcast_to(
+                ((jnp.arange(p, dtype=jnp.uint32) * jnp.uint32(2654435761))
+                 >> 8).astype(jnp.float32) / jnp.float32(1 << 24),
+                valid.shape)
+        else:
+            score = jax.random.uniform(key, valid.shape)
+        score = jnp.where(valid, score, -1.0)
+        _, order = jax.lax.top_k(score, N)
+        n_valid = valid.sum(-1)
+        take = jnp.arange(N)[None, :] % jnp.maximum(
+            jnp.minimum(n_valid, N), 1)[:, None]
+        idx = jnp.take_along_axis(order, take, axis=-1)
+        ref = jnp.take_along_axis(xyz, idx[..., None], axis=1)
+        ref = jnp.where((n_valid > 0)[:, None, None], ref, 0.0)
+
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_crop_hand_removes_outside():
     B, S = 1, 64
     center = jnp.asarray([[0.0, 0.0, 750.0]])
